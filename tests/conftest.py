@@ -1,0 +1,25 @@
+"""Test harness config: force an 8-device virtual CPU mesh + float64.
+
+Must run before jax initializes (pytest imports conftest first). The reference
+runs float64 end-to-end on CPU (train_tactile_push_gd.py:13); enabling x64
+here lets the gradient-fidelity tests use tight tolerances. Multi-chip
+sharding tests use the 8 virtual devices (SURVEY.md §4 implication).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def reference_scene(rel):
+    return os.path.join(REFERENCE_ROOT, rel)
