@@ -243,7 +243,7 @@ def build(spec: SceneSpec, dtype=None) -> Tuple[Structure, Model]:
             mhi.append(mt.ctrl_range[1])
             mpos.append(1.0 if mt.ctrl == CTRL_POSITION else 0.0)
 
-    structure = Structure(
+    structure_kwargs = dict(
         name=spec.name,
         integrator=spec.integrator,
         njoints=len(spec.joints),
@@ -267,12 +267,17 @@ def build(spec: SceneSpec, dtype=None) -> Tuple[Structure, Model]:
         tactile_pairs=tuple(tactile_pairs),
         sensors=tuple(sensors),
         ee_joint=tuple(e.joint for e in spec.endeffectors),
+        ee_names=tuple(e.name for e in spec.endeffectors),
         virtual_names=tuple(v.name for v in spec.virtuals),
         has_ground=spec.ground_pos is not None,
         solver_tol=spec.solver_tol,
         solver_max_iter=spec.solver_max_iter,
         solver_max_ls=spec.solver_max_ls,
     )
+    from ..sim import contact as _contact
+    structure = Structure(contact_groups=(), **structure_kwargs)
+    structure = Structure(contact_groups=_contact.build_groups(structure),
+                          **structure_kwargs)
 
     model = Model(
         h=f(spec.timestep),

@@ -1,0 +1,162 @@
+"""Implicit BDF1/BDF2 stepping with an implicit-function-theorem custom VJP.
+
+Replaces the reference C++ time stepper + adjoint backward engine
+(SURVEY.md C3/C7/C8). One step solves the *momentum-form* residual (discrete
+Euler-Lagrange — see dynamics.py for why this form keeps the AD graphs
+shallow):
+
+    r(v') = p(q', v') - p_base - gamma * [dT/dq(q', v') + Q(q', v', u)]
+    q'    = q_base + gamma * v'
+
+with a damped chord/Newton iteration (jacfwd Jacobian LU-factored at the warm
+start, parallel backtracking line search, fixed masked iteration count —
+static shapes for XLA). Coefficients:
+
+    BDF1: gamma = h,    q_base = q,            p_base = p(q, v)
+    BDF2: gamma = 2h/3, q_base = (4q - q_)/3,  p_base = (4 p(q,v) - p(q_,v_))/3
+          (first step falls back to BDF1 — no history yet)
+
+Gradients: ``newton_solve`` carries a ``jax.custom_vjp``. At the solution,
+dv*/dtheta = -(dr/dv*)^{-1} dr/dtheta, so the backward pass is one transposed
+dense solve plus one VJP through the residual. Because ``inputs`` includes the
+whole ``Model`` pytree, this yields gradients w.r.t. initial state, controls,
+AND design parameters (the reference's unused ``flag_p``, C7) in one shot.
+``lax.scan`` over steps replaces the reference's LIFO backward cache (C8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import dynamics
+from .types import Model, SimState, Structure
+
+_LS_ALPHAS = (1.0, 0.5, 0.1)
+
+
+class StepInputs(NamedTuple):
+    model: Model
+    u: jnp.ndarray
+    q_base: jnp.ndarray
+    p_base: jnp.ndarray
+    gamma: jnp.ndarray
+
+
+def make_residual(struct: Structure):
+    def residual(v_new, inputs: StepInputs):
+        qn = inputs.q_base + inputs.gamma * v_new
+        p_new = dynamics.momentum(struct, inputs.model, qn, v_new)
+        Q, _ = dynamics.generalized_forces(
+            struct, inputs.model, qn, v_new, inputs.u)
+        rhs = dynamics.dT_dq(struct, inputs.model, qn, v_new) + Q
+        return p_new - inputs.p_base - inputs.gamma * rhs
+    return residual
+
+
+def _newton(residual_fn, max_iter, tol, inputs, v_guess):
+    """Damped chord/Newton iteration.
+
+    The Jacobian is computed (jacfwd through the full stiff pipeline) and
+    LU-factored at the warm start and refreshed once mid-way — the chord
+    method. With h = 5e-3 warm starts, this converges like full Newton at a
+    fraction of the cost; gradient exactness is unaffected because the custom
+    VJP (below) evaluates the exact Jacobian at the converged solution. The
+    loop is NOT unrolled and is never differentiated through.
+    """
+    alphas = jnp.asarray(_LS_ALPHAS, dtype=v_guess.dtype)
+    eye = jnp.eye(v_guess.shape[0], dtype=v_guess.dtype)
+    f32 = v_guess.dtype == jnp.float32
+    rel = 1e-4 if f32 else 1e-7
+
+    def factor(v):
+        J = jax.jacfwd(residual_fn)(v, inputs)
+        # tiny Tikhonov guard keeps near-massless dofs solvable in f32
+        return jax.scipy.linalg.lu_factor(J + 1e-12 * eye)
+
+    # residual-scale-aware tolerance: masses span 1e-5..1 kg across the
+    # reference scenes, so a fixed absolute tol either stalls or spins
+    r0 = jnp.linalg.norm(residual_fn(v_guess, inputs))
+    tol_eff = jnp.maximum(jnp.asarray(tol, v_guess.dtype), rel * r0)
+
+    lu = factor(v_guess)
+
+    def body(i, v):
+        r = residual_fn(v, inputs)
+        rnorm = jnp.linalg.norm(r)
+        dv = jax.scipy.linalg.lu_solve(lu, r)
+        cands = v[None, :] - alphas[:, None] * dv[None, :]
+        cnorm = jax.vmap(
+            lambda vv: jnp.linalg.norm(residual_fn(vv, inputs)))(cands)
+        best = jnp.argmin(cnorm)
+        # masked convergence: once converged, keep v (constant cost, no branch)
+        return jnp.where(rnorm < tol_eff, v, cands[best])
+
+    return jax.lax.fori_loop(0, max_iter, body, v_guess)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def newton_solve(residual_fn, max_iter, tol, inputs: StepInputs, v_guess):
+    return _newton(residual_fn, max_iter, tol, inputs, v_guess)
+
+
+def _newton_fwd(residual_fn, max_iter, tol, inputs, v_guess):
+    v_star = _newton(residual_fn, max_iter, tol, inputs, v_guess)
+    return v_star, (inputs, v_star)
+
+
+def _newton_bwd(residual_fn, max_iter, tol, res, g):
+    inputs, v_star = res
+    J = jax.jacfwd(residual_fn)(v_star, inputs)
+    lam = jnp.linalg.solve(J.T + 1e-12 * jnp.eye(J.shape[0], dtype=J.dtype), g)
+    _, vjp_fn = jax.vjp(lambda inp: residual_fn(v_star, inp), inputs)
+    (inputs_bar,) = vjp_fn(-lam)
+    return inputs_bar, jnp.zeros_like(v_star)
+
+
+newton_solve.defvjp(_newton_fwd, _newton_bwd)
+
+
+def build_step(struct: Structure):
+    """Returns step(model, state, u) -> (state', tactile_force_world (Mtot,3)).
+
+    The tactile field is evaluated at the new state (the reference queries
+    ``get_tactile_force_vector`` after ``forward``, test_sim_speed.py:80)."""
+    residual_fn = make_residual(struct)
+    max_iter = struct.solver_max_iter
+    use_bdf2 = struct.integrator.upper() == "BDF2"
+
+    def step(model: Model, state: SimState, u):
+        h = model.h
+        dtype = state.q.dtype
+        tol = max(struct.solver_tol, 1e-7 if dtype == jnp.float32 else 1e-12)
+        p_now = dynamics.momentum(struct, model, state.q, state.qdot)
+        if use_bdf2:
+            first = (state.t == 0)
+            p_prev = dynamics.momentum(struct, model, state.q_prev,
+                                       state.qdot_prev)
+            gamma = jnp.where(first, h, 2.0 * h / 3.0)
+            q_base = jnp.where(first, state.q,
+                               (4.0 * state.q - state.q_prev) / 3.0)
+            p_base = jnp.where(first, p_now, (4.0 * p_now - p_prev) / 3.0)
+        else:
+            gamma, q_base, p_base = h, state.q, p_now
+        inputs = StepInputs(model=model, u=jnp.asarray(u, dtype),
+                            q_base=q_base, p_base=p_base,
+                            gamma=jnp.asarray(gamma, dtype))
+        v_new = newton_solve(residual_fn, max_iter, tol, inputs, state.qdot)
+        q_new = q_base + gamma * v_new
+        new_state = SimState(q=q_new, qdot=v_new, q_prev=state.q,
+                             qdot_prev=state.qdot, t=state.t + 1)
+        return new_state
+
+    return step
+
+
+def initial_state(struct: Structure, model: Model) -> SimState:
+    return SimState(q=model.q_init, qdot=model.qdot_init,
+                    q_prev=model.q_init, qdot_prev=model.qdot_init,
+                    t=jnp.zeros((), jnp.int32))

@@ -129,8 +129,10 @@ class Structure:
     pairs: Tuple[PairInfo, ...]
     tac_joint: Tuple[int, ...]        # per marker: owning joint
     tactile_pairs: Tuple[PairInfo, ...]
+    contact_groups: Tuple[Any, ...]   # flattened instance groups (contact.py)
     sensors: Tuple[SensorInfo, ...]
     ee_joint: Tuple[int, ...]
+    ee_names: Tuple[str, ...]
     virtual_names: Tuple[str, ...]
     has_ground: bool
     solver_tol: float

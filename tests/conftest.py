@@ -8,7 +8,6 @@ sharding tests use the 8 virtual devices (SURVEY.md §4 implication).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,7 +15,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# NOTE: the axon TPU tunnel overrides the JAX_PLATFORMS env var, so the env
+# var alone is not enough — the config update below is what actually pins the
+# test suite to the virtual 8-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# XLA CPU compile times are superlinear in graph size; the persistent cache
+# makes repeated test runs cheap.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 REFERENCE_ROOT = "/root/reference"
 
