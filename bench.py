@@ -1,0 +1,84 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.md north star): batched differentiable rollouts per
+second per chip on TactilePush at H = 150 env steps (frame_skip 5 => 750
+implicit sim steps per rollout), including the backward pass (the rollout is
+differentiated w.r.t. the control sequence, i.e. the full BPTT path the GD
+trainer uses). ``vs_baseline`` is measured against the 1000 rollouts/s/chip
+target.
+
+Run: python bench.py [--batch N] [--horizon H] [--forward-only]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--horizon", type=int, default=150)
+    ap.add_argument("--forward-only", action="store_true")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    from tactilesimulation_tpu.envs import tactile_push
+
+    env = tactile_push.make("no_tactile")
+    B, H = args.batch, args.horizon
+
+    def rollout_reward(us, key):
+        """Total reward of one episode driven by an explicit control
+        sequence us (H, ndof_u) — the GD/BPTT workload shape."""
+        state, obs = env.reset(key)
+
+        def body(carry, u):
+            st, _ = carry
+            st, obs, r, d, info = env.step(st, u)
+            return (st, obs), r
+
+        (_, _), rewards = jax.lax.scan(body, (state, obs), us)
+        return jnp.sum(rewards)
+
+    def batch_loss(us_batch, keys):
+        return jnp.mean(jax.vmap(rollout_reward)(us_batch, keys))
+
+    if args.forward_only:
+        fn = jax.jit(batch_loss)
+    else:
+        fn = jax.jit(jax.grad(batch_loss))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    us = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, H, env.ndof_u))
+
+    out = fn(us, keys)  # compile
+    jax.tree.map(lambda x: x.block_until_ready(), out)
+
+    best = float("inf")
+    for _ in range(args.repeats):
+        t0 = time.time()
+        out = fn(us, keys)
+        jax.tree.map(lambda x: x.block_until_ready(), out)
+        best = min(best, time.time() - t0)
+
+    rps = B / best
+    target = 1000.0
+    result = {
+        "metric": ("fwd_rollouts_per_s_per_chip" if args.forward_only
+                   else "diff_rollouts_per_s_per_chip"),
+        "value": round(rps, 2),
+        "unit": f"rollouts/s (TactilePush H={H}, batch={B}, "
+                f"{jax.devices()[0].device_kind})",
+        "vs_baseline": round(rps / target, 4),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

@@ -105,7 +105,7 @@ def parse_scene(path: str, mesh_fallback_extent: float = 0.04) -> SceneSpec:
         # the reference allows up to 100 Newton iters with 20 line-search steps
         # (pusher.xml:4); on TPU we run a fixed masked iteration count, so cap
         # at a static budget that converges in practice (see integrators.py).
-        spec.solver_max_iter = min(int(_f(sopt.get("max_iter"), 10)), 6)
+        spec.solver_max_iter = min(int(_f(sopt.get("max_iter"), 10)), 10)
         spec.solver_max_ls = min(int(_f(sopt.get("max_ls"), 4)), 6)
 
     ground = root.find("ground")
