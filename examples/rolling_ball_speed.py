@@ -1,0 +1,96 @@
+"""RollingBall sim-speed benchmark — parity with the reference protocol
+(examples/RollingBallExp/test_sim_speed.py): sphere on a 200x200-marker
+tactile pad (40,000 markers / 120,000 tactile dims), BDF2, h = 5e-3; 350
+steps of piecewise-constant pad forces; tactile queried every 5 steps;
+prints wall-clock FPS.
+
+Run: python examples/rolling_ball_speed.py [--steps 350] [--scene PATH]
+     [--f64] [--batch B]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=350)
+    ap.add_argument("--scene", type=str,
+                    default="/root/reference/assets/tactile_pad/tactile_pad.xml")
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="batched copies of the sim (vmap) — throughput mode "
+                         "the reference cannot do")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+
+    from tactilesimulation_tpu.model import builder, xml_parser
+    from tactilesimulation_tpu.sim.simulation import Simulator
+
+    spec = xml_parser.parse_scene(args.scene)
+    struct, model = builder.build(spec)
+    sim = Simulator(struct, model)
+    print(f"scene '{struct.name}': ndof_r={struct.ndof_q} "
+          f"ndof_u={struct.ndof_u} markers={struct.ndof_tactile // 3}")
+
+    # piecewise-constant control schedule (reference :43-48)
+    action_array = [np.array([0.0, 0.0, 0.2]), np.array([0.1, 0.0, 0.2]),
+                    np.array([-0.2, 0.0, 0.2]), np.array([0.0, 0.1, 0.2]),
+                    np.array([0.0, -0.2, 0.2])]
+    steps_array = [0, 100, 150, 200, 250, 350]
+    us = np.zeros((steps_array[-1], struct.ndof_u))
+    for i in range(len(steps_array) - 1):
+        us[steps_array[i]:steps_array[i + 1]] = action_array[i]
+    us = jnp.asarray(us[:args.steps])
+    # tactile acquired every 5 steps (reference :73): stride-5 chunks
+    stride = 5
+    K = us.shape[0] // stride
+    us_chunks = us[:K * stride:stride]
+
+    rollout = jax.jit(sim.make_rollout_strided(stride, remat=False))
+    state0 = sim.init_state()
+    if args.batch > 1:
+        rollout_b = jax.jit(jax.vmap(sim.make_rollout_strided(stride, remat=False),
+                                     in_axes=(None, 0, None)))
+        state0 = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (args.batch,) + x.shape), state0)
+        run = lambda: rollout_b(model, state0, us_chunks)
+    else:
+        run = lambda: rollout(model, state0, us_chunks)
+
+    print("compiling...")
+    t0 = time.time()
+    out = run()
+    jax.tree.map(lambda x: x.block_until_ready(), out)
+    print(f"compile+first run: {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    out = run()
+    jax.tree.map(lambda x: x.block_until_ready(), out)
+    t1 = time.time()
+
+    nsteps = K * stride * max(args.batch, 1)
+    print(f"time elapsed = {t1 - t0:.3f} , FPS = {nsteps / (t1 - t0):.1f}")
+    state, qs, vars_, tactiles = out
+    print("final q:", np.asarray(state.q)[..., :6])
+    tac = np.asarray(tactiles)[-1].reshape(-1, 3) if args.batch == 1 else \
+        np.asarray(tactiles)[0, -1].reshape(-1, 3)
+    print(f"tactile: max |normal| = {np.abs(tac[:, 2]).max():.4g}, "
+          f"max |shear| = {np.linalg.norm(tac[:, :2], axis=1).max():.4g}, "
+          f"active markers = {(np.abs(tac[:, 2]) > 1e-9).sum()}")
+
+
+if __name__ == "__main__":
+    main()

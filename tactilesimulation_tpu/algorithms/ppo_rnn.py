@@ -1,0 +1,317 @@
+"""Recurrent PPO (CNN->GRU actor-critic) — reference algorithms/ppo_rnn.py
+(P12) + the recurrent minibatch generator (storage.py:145-202).
+
+Structure follows ppo.py but the policy carries GRU hidden state: rollouts
+record per-step hidden states + masks; updates replay whole sequences per
+env-minibatch (mask-segmented, so hidden state resets at episode boundaries
+exactly as in collection). Success rate is tracked as the model-selection
+metric (reference ppo_rnn.py:202-260).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from collections import deque
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct as fstruct
+
+from ..models import nets
+from ..utils import logging as log
+from ..utils.running_mean_std import RunningMeanStd
+from .ppo import NormState, VecEnvState
+
+
+class PPORNN:
+    def __init__(self, env, cfg: Dict[str, Any], logdir: Optional[str] = None,
+                 seed: int = 0):
+        self.env = env
+        self.cfg = cfg
+        config = cfg.get("config", {})
+        network = cfg.get("network", {})
+        self.logdir = logdir
+        self.seed = seed
+
+        self.num_processes = config.get("num_processes", 8)
+        self.num_steps = config.get("num_steps", 512)
+        self.num_env_steps = config.get("num_env_steps", 5_000_000)
+        self.lr = config.get("lr", 3e-4)
+        self.clip_param = config.get("clip_param", 0.2)
+        self.ppo_epoch = config.get("ppo_epoch", 10)
+        self.num_mini_batch = config.get("num_mini_batch", 8)
+        self.value_loss_coef = config.get("value_loss_coef", 0.5)
+        self.entropy_coef = config.get("entropy_coef", 0.0)
+        self.max_grad_norm = config.get("max_grad_norm", 0.5)
+        self.gamma = config.get("gamma", 0.99)
+        self.gae_lambda = config.get("gae_lambda", 0.95)
+        self.norm_obs = config.get("norm_obs", True)
+        self.norm_reward = config.get("norm_reward", True)
+        self.clip_obs = config.get("clip_obs", 10.0)
+        self.clip_reward = config.get("clip_reward", 10.0)
+        self.num_updates = self.num_env_steps // (
+            self.num_steps * self.num_processes)
+
+        self.ac = nets.ActorCriticRNN(env.ndof_u, network)
+        obs_shape = env.obs_size()
+        key = jax.random.PRNGKey(seed)
+        dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.hidden_size = (network["rnn_hidden_size"]
+                            * network["rnn_hidden_layers"])
+        dummy_obs = jnp.zeros(obs_shape, dt)
+        dummy_h = jnp.zeros(self.hidden_size, dt)
+        self.params = self.ac.init(key, dummy_obs, dummy_h, jnp.ones((), dt))
+
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(self.max_grad_norm),
+            optax.adam(self.lr, eps=1e-5))
+        self.opt_state = self.optimizer.init(self.params)
+        self.norm = NormState(
+            obs_rms=RunningMeanStd.create(obs_shape, dt),
+            ret_rms=RunningMeanStd.create((), dt),
+            returns=jnp.zeros(self.num_processes, dt))
+        self._build()
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        env, ac = self.env, self.ac
+        N, T = self.num_processes, self.num_steps
+        assert N % self.num_mini_batch == 0, \
+            "recurrent minibatches split whole envs (storage.py:149-153)"
+
+        def norm_obs(rms, obs):
+            if not self.norm_obs:
+                return obs
+            return jnp.clip(rms.normalize(obs), -self.clip_obs, self.clip_obs)
+
+        def vec_reset(key):
+            keys = jax.random.split(key, N)
+            states, obs = jax.vmap(env.reset)(keys)
+            return states, obs
+
+        def env_step_autoreset(state, obs, t, action, key):
+            nstate, nobs, reward, done, info = env.step(state, action)
+            t = t + 1
+            truncated = t >= env.max_episode_steps
+            reset_now = done | truncated
+            rstate, robs = env.reset(key)
+            nstate = jax.tree.map(lambda a, b: jnp.where(reset_now, a, b),
+                                  rstate, nstate)
+            nobs = jax.tree.map(lambda a, b: jnp.where(reset_now, a, b),
+                                robs, nobs)
+            t = jnp.where(reset_now, 0, t)
+            success = info.get("success", jnp.zeros((), bool))
+            return nstate, nobs, t, reward, reset_now, truncated & ~done, success
+
+        def rollout(params, vec: VecEnvState, hxs, masks, norm: NormState):
+            """hxs: (N, H); masks: (N,) 1 = episode continuing."""
+            def body(carry, _):
+                vec, hxs, masks, norm = carry
+                key, k_act, k_reset = jax.random.split(vec.key, 3)
+                nobs = norm_obs(norm.obs_rms, vec.obs)
+                value, action, logp, new_hxs = jax.vmap(
+                    lambda o, h, m, k: ac.apply(params, o, h, m, k,
+                                                method=ac.act),
+                    in_axes=(0, 0, 0, None))(nobs, hxs, masks, k_act)
+                rkeys = jax.random.split(k_reset, N)
+                nstate, next_obs, t, reward, done, bad, success = jax.vmap(
+                    env_step_autoreset)(vec.env_states, vec.obs, vec.t,
+                                        action, rkeys)
+                returns = norm.returns * self.gamma + reward
+                new_ret_rms = norm.ret_rms.update(returns)
+                r_train = (jnp.clip(reward / jnp.sqrt(new_ret_rms.var + 1e-8),
+                                    -self.clip_reward, self.clip_reward)
+                           if self.norm_reward else reward)
+                returns = jnp.where(done, 0.0, returns)
+                new_norm = NormState(obs_rms=norm.obs_rms.update(vec.obs),
+                                     ret_rms=new_ret_rms, returns=returns)
+                new_masks = 1.0 - done.astype(hxs.dtype)
+                out = (nobs, masks, action, logp[:, 0], value[:, 0], r_train,
+                       done, bad, reward, success)
+                return (VecEnvState(env_states=nstate, obs=next_obs, t=t,
+                                    key=key), new_hxs, new_masks, new_norm), out
+
+            (vec, hxs, masks, norm), outs = jax.lax.scan(
+                body, (vec, hxs, masks, norm), None, length=T)
+            return vec, hxs, masks, norm, outs
+
+        def compute_gae(values, rewards, dones, bads, last_value):
+            masks = 1.0 - dones.astype(values.dtype)
+            bad = bads.astype(values.dtype)
+
+            def body(gae, xs):
+                v, r, mask, b, v_next = xs
+                cont = mask + b * (1 - mask)
+                delta = r + self.gamma * v_next * cont - v
+                gae = delta + self.gamma * self.gae_lambda * cont * gae
+                return gae, gae
+
+            v_nexts = jnp.concatenate([values[1:], last_value[None]], axis=0)
+            _, advs = jax.lax.scan(body, jnp.zeros_like(last_value),
+                                   (values, rewards, masks, bad, v_nexts),
+                                   reverse=True)
+            return advs + values, advs
+
+        def sequence_loss(params, obs_seq, mask_seq, act_seq, old_logp,
+                          old_values, returns, advs, h0):
+            """Replay one env's full T sequence through the RNN.
+            obs_seq (T, obs...), h0 (H,)."""
+            def body(h, xs):
+                o, m, a = xs
+                value, logp, entropy, h = ac.apply(
+                    params, o, h, m, a, method=ac.evaluate_actions)
+                return h, (value[0], logp[0, 0], entropy)
+
+            _, (values, logps, entropies) = jax.lax.scan(
+                body, h0, (obs_seq, mask_seq, act_seq))
+            ratio = jnp.exp(logps - old_logp)
+            surr1 = ratio * advs
+            surr2 = jnp.clip(ratio, 1 - self.clip_param,
+                             1 + self.clip_param) * advs
+            action_loss = -jnp.minimum(surr1, surr2).mean()
+            v_clipped = old_values + jnp.clip(values - old_values,
+                                              -self.clip_param,
+                                              self.clip_param)
+            v_loss = 0.5 * jnp.maximum((values - returns) ** 2,
+                                       (v_clipped - returns) ** 2).mean()
+            ent = entropies.mean()
+            return action_loss, v_loss, ent
+
+        def mb_loss(params, batch):
+            (obs, mask, act, old_logp, old_values, returns, advs, h0) = batch
+            # batch leaves are (T, envs_per_mb, ...) except h0 (envs_per_mb, H)
+            a_l, v_l, ent = jax.vmap(
+                lambda *xs: sequence_loss(params, *xs),
+                in_axes=(1, 1, 1, 1, 1, 1, 1, 0))(
+                    obs, mask, act, old_logp, old_values, returns, advs, h0)
+            loss = (a_l.mean() + self.value_loss_coef * v_l.mean()
+                    - self.entropy_coef * ent.mean())
+            return loss, (a_l.mean(), v_l.mean(), ent.mean())
+
+        def update_iteration(params, opt_state, vec, hxs, masks, norm, key):
+            h0_all = hxs
+            m0_all = masks
+            vec, hxs, masks, norm, outs = rollout(params, vec, hxs, masks, norm)
+            (obs, mask_seq, actions, logps, values, rewards, dones, bads,
+             raw_r, successes) = outs
+            # first-step masks come from the pre-rollout state
+            mask_seq = jnp.concatenate([m0_all[None], mask_seq[1:]], axis=0)
+            last_nobs = norm_obs(norm.obs_rms, vec.obs)
+            last_value = jax.vmap(
+                lambda o, h, m: ac.apply(params, o, h, m,
+                                         method=ac.get_value))(
+                last_nobs, hxs, masks)[:, 0]
+            returns, advs = compute_gae(values, rewards, dones, bads,
+                                        last_value)
+            advs_n = (advs - advs.mean()) / (advs.std() + 1e-5)
+
+            envs_per_mb = N // self.num_mini_batch
+
+            def epoch_body(carry, ek):
+                params, opt_state = carry
+                perm = jax.random.permutation(ek, N)
+
+                def mb_body(carry, env_idx):
+                    params, opt_state = carry
+                    batch = (obs[:, env_idx], mask_seq[:, env_idx],
+                             actions[:, env_idx], logps[:, env_idx],
+                             values[:, env_idx], returns[:, env_idx],
+                             advs_n[:, env_idx], h0_all[env_idx])
+                    (loss, aux), grads = jax.value_and_grad(
+                        mb_loss, has_aux=True)(params, batch)
+                    updates, opt_state = self.optimizer.update(
+                        grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), (loss, *aux)
+
+                idxs = perm.reshape(self.num_mini_batch, envs_per_mb)
+                (params, opt_state), metrics = jax.lax.scan(
+                    mb_body, (params, opt_state), idxs)
+                return (params, opt_state), metrics
+
+            ekeys = jax.random.split(key, self.ppo_epoch)
+            (params, opt_state), metrics = jax.lax.scan(
+                epoch_body, (params, opt_state), ekeys)
+            return (params, opt_state, vec, hxs, masks, norm,
+                    jax.tree.map(jnp.mean, metrics), raw_r, dones, successes)
+
+        self._vec_reset = jax.jit(vec_reset)
+        self._update = jax.jit(update_iteration, donate_argnums=(0, 1, 2))
+
+    # ------------------------------------------------------------------
+    def train(self):
+        writer = log.SummaryWriter(os.path.join(self.logdir, "log")) \
+            if self.logdir else None
+        key = jax.random.PRNGKey(self.seed)
+        key, kr = jax.random.split(key)
+        states, obs = self._vec_reset(kr)
+        dt = obs.dtype
+        vec = VecEnvState(env_states=states, obs=obs,
+                          t=jnp.zeros(self.num_processes, jnp.int32), key=key)
+        hxs = jnp.zeros((self.num_processes, self.hidden_size), dt)
+        masks = jnp.zeros(self.num_processes, dt)
+        norm = self.norm
+
+        episode_rewards = deque(maxlen=100)
+        successes = deque(maxlen=100)
+        ep_acc = np.zeros(self.num_processes)
+        best_sr = -1.0
+        t_start = time.time()
+        for update in range(self.num_updates):
+            key, ku = jax.random.split(key)
+            (self.params, self.opt_state, vec, hxs, masks, norm, metrics,
+             raw_r, dones, succ) = self._update(
+                self.params, self.opt_state, vec, hxs, masks, norm, ku)
+            raw_r, dones_np = np.asarray(raw_r), np.asarray(dones)
+            succ_np = np.asarray(succ)
+            for t in range(raw_r.shape[0]):
+                ep_acc += raw_r[t]
+                for i in np.nonzero(dones_np[t])[0]:
+                    episode_rewards.append(ep_acc[i])
+                    successes.append(float(succ_np[t, i]))
+                    ep_acc[i] = 0.0
+            if len(episode_rewards) > 0:
+                total = (update + 1) * self.num_steps * self.num_processes
+                sr = float(np.mean(successes)) if successes else 0.0
+                mean_r = float(np.mean(episode_rewards))
+                fps = int(total / (time.time() - t_start))
+                msg = (f"Updates {update}, steps {total}, FPS {fps} | "
+                       f"reward {mean_r:.1f} | success {sr:.3f}")
+                print(msg)
+                if writer:
+                    writer.add_scalar("rewards/step", mean_r, total)
+                    writer.add_scalar("success_rate/step", sr, total)
+                    writer.flush()
+                # success-rate model selection (ppo_rnn.py:202-260)
+                if self.logdir and sr > best_sr and len(successes) >= 10:
+                    best_sr = sr
+                    self.norm = norm
+                    self.save()
+        self.norm = norm
+        if self.logdir:
+            self.save("final_policy")
+        if writer:
+            writer.close()
+        return float(np.mean(successes)) if successes else 0.0
+
+    def save(self, filename=None):
+        os.makedirs(os.path.join(self.logdir, "models"), exist_ok=True)
+        path = os.path.join(self.logdir, "models",
+                            f"{filename or 'best_model'}.pkl")
+        with open(path, "wb") as fp:
+            pickle.dump({"params": jax.tree.map(np.asarray, self.params),
+                         "obs_rms": jax.tree.map(np.asarray,
+                                                 self.norm.obs_rms)}, fp)
+
+    def load(self, path):
+        with open(path, "rb") as fp:
+            blob = pickle.load(fp)
+        self.params = jax.tree.map(jnp.asarray, blob["params"])
+        if blob.get("obs_rms") is not None:
+            self.norm = self.norm.replace(
+                obs_rms=jax.tree.map(jnp.asarray, blob["obs_rms"]))

@@ -1,0 +1,52 @@
+"""Host-side stateful wrapper exposing the reference gym API.
+
+Gives a FunctionalEnv the reference's interface (envs/redmax_torch_env.py):
+``reset() -> obs``, ``step(u) -> (obs, reward, done, info)``, ``seed()``,
+``action_space``/``observation_space``-style shape attributes — so reference
+driver scripts port over with minimal changes. Numpy in/out; the functional
+env runs jitted underneath.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .base import FunctionalEnv
+
+
+class GymEnv:
+    def __init__(self, env: FunctionalEnv, seed: int = 0):
+        self.env = env
+        self._reset = jax.jit(env.reset)
+        self._step = jax.jit(env.step)
+        self._state = None
+        self.seed(seed)
+        self.ndof_u = env.ndof_u
+        self.action_shape = (env.ndof_u,)
+        self.observation_shape = env.obs_size()
+        self.max_episode_steps = env.max_episode_steps
+
+    def seed(self, seed=0):
+        self._key = jax.random.PRNGKey(seed)
+        return [seed]
+
+    def reset(self):
+        self._key, k = jax.random.split(self._key)
+        self._state, obs = self._reset(k)
+        self._t = 0
+        return jax.tree.map(np.asarray, obs)
+
+    def step(self, u):
+        self._state, obs, reward, done, info = self._step(
+            self._state, jnp.asarray(u))
+        self._t += 1
+        done = bool(done) or self._t >= self.max_episode_steps
+        info = {k: np.asarray(v) for k, v in info.items()}
+        if self._t >= self.max_episode_steps:
+            info["TimeLimit.truncated"] = True
+        return jax.tree.map(np.asarray, obs), float(reward), done, info
+
+    def render(self, mode="once"):
+        pass  # offline rendering: utils/renderer.py consumes dumped trajectories

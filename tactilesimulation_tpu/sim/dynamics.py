@@ -64,6 +64,25 @@ def gravity_force(struct: Structure, model: Model, q):
     return -jax.grad(lambda qq: potential_energy(struct, model, qq))(q)
 
 
+def lagrangian(struct: Structure, model: Model, q, v):
+    """L = T - V. Body positions are shared between T's FK and V, so one AD
+    pass over L yields momentum AND all conservative generalized forces."""
+    p, quat, pd, w = body_velocities(struct, model, q, v)
+    R = spatial.quat_to_mat(quat)
+    w_local = jnp.einsum("bji,bj->bi", R, w)
+    T = (0.5 * jnp.sum(model.body_mass * jnp.sum(pd * pd, axis=-1))
+         + 0.5 * jnp.sum(model.body_inertia * w_local * w_local))
+    V = -jnp.sum(model.body_mass * (p @ model.gravity))
+    return T - V
+
+
+def el_terms(struct: Structure, model: Model, q, v):
+    """(dL/dq, p = dL/dv) in ONE reverse pass — the Euler-Lagrange pieces the
+    integrator residual needs (dT/dq - dV/dq and the momentum)."""
+    return jax.grad(lambda qq, vv: lagrangian(struct, model, qq, vv),
+                    argnums=(0, 1))(q, v)
+
+
 def mass_matrix(struct: Structure, model: Model, q):
     """M(q) = d p / d v (for tests/analysis; not used in the step hot path)."""
     return jax.jacfwd(lambda vv: momentum(struct, model, q, vv))(
@@ -95,13 +114,6 @@ def motor_forces(struct: Structure, model: Model, q, v, u):
     return jnp.zeros_like(q).at[dof].add(tau)
 
 
-def _all_points(struct: Structure, model: Model, q):
-    """Combined world array [contact points; tactile markers]."""
-    cp = kinematics.contact_points_world(struct, model, q)
-    tac = kinematics.tactile_points_world(struct, model, q)
-    return jnp.concatenate([cp, tac], axis=0)
-
-
 def contact_terms(struct: Structure, model: Model, q, v):
     """All contact/tactile instance forces.
 
@@ -113,9 +125,9 @@ def contact_terms(struct: Structure, model: Model, q, v):
     if not groups:
         return jnp.zeros_like(q), jnp.zeros((ntac, 3), dtype)
 
-    pts_fn = lambda qq: _all_points(struct, model, qq)
-    pts, pts_dot = jax.jvp(pts_fn, (q,), (v,))
-    bp, bquat, bv, bw = body_velocities(struct, model, q, v)
+    fk = lambda qq: kinematics.fk_all(struct, model, qq)
+    (bp, bquat, pts), (bv, bquatd, pts_dot) = jax.jvp(fk, (q,), (v,))
+    bw = 2.0 * spatial.quat_mul(bquatd, spatial.quat_conj(bquat))[..., 1:]
     bR = spatial.quat_to_mat(bquat)
     params = contact.combined_params(model).astype(dtype)
 
@@ -137,8 +149,7 @@ def contact_terms(struct: Structure, model: Model, q, v):
     # with primitive-side material coords xi frozen (material point at this
     # instant — the correct rigid-body generalized force)
     def app_points(qq):
-        pts2 = _all_points(struct, model, qq)
-        bp2, bquat2 = kinematics.fk_bodies(struct, model, qq)
+        bp2, bquat2, pts2 = kinematics.fk_all(struct, model, qq)
         bR2 = spatial.quat_to_mat(bquat2)
         outs = []
         for g, f, x_eff, xi_p in per_group:
@@ -164,17 +175,21 @@ def contact_terms(struct: Structure, model: Model, q, v):
     return Q, tac_force
 
 
-def generalized_forces(struct: Structure, model: Model, q, v, u):
-    """Total non-inertial generalized force Q(q, v, u) + tactile world forces.
-
-    Note: the Euler-Lagrange inertial terms (dT/dq) are handled by the
-    integrator residual, not here."""
+def applied_forces(struct: Structure, model: Model, q, v, u):
+    """Non-conservative generalized forces: damping + limits + motors +
+    contact (gravity lives in the Lagrangian — see el_terms)."""
     Q_contact, tac_force = contact_terms(struct, model, q, v)
-    Q = (gravity_force(struct, model, q)
-         + joint_spring_forces(model, q, v)
+    Q = (joint_spring_forces(model, q, v)
          + motor_forces(struct, model, q, v, u)
          + Q_contact)
     return Q, tac_force
+
+
+def generalized_forces(struct: Structure, model: Model, q, v, u):
+    """Total non-inertial generalized force Q(q, v, u) + tactile world forces
+    (gravity included — for tests/analysis)."""
+    Q, tac_force = applied_forces(struct, model, q, v, u)
+    return Q + gravity_force(struct, model, q), tac_force
 
 
 def tactile_field(struct: Structure, model: Model, q, v):

@@ -46,11 +46,12 @@ class StepInputs(NamedTuple):
 def make_residual(struct: Structure):
     def residual(v_new, inputs: StepInputs):
         qn = inputs.q_base + inputs.gamma * v_new
-        p_new = dynamics.momentum(struct, inputs.model, qn, v_new)
-        Q, _ = dynamics.generalized_forces(
+        # one reverse pass: dL/dq = dT/dq - dV/dq (Coriolis + gravity),
+        # dL/dv = momentum
+        dLdq, p_new = dynamics.el_terms(struct, inputs.model, qn, v_new)
+        Q, _ = dynamics.applied_forces(
             struct, inputs.model, qn, v_new, inputs.u)
-        rhs = dynamics.dT_dq(struct, inputs.model, qn, v_new) + Q
-        return p_new - inputs.p_base - inputs.gamma * rhs
+        return p_new - inputs.p_base - inputs.gamma * (dLdq + Q)
     return residual
 
 

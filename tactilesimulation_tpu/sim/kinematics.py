@@ -119,6 +119,27 @@ def tactile_frames_world(struct: Structure, model: Model, q):
             spatial.quat_rotate(qw, model.tac_axis1))
 
 
+def fk_all(struct: Structure, model: Model, q):
+    """One-pass FK for the contact pipeline: body poses + the combined
+    [contact points; tactile markers] world array (joint transforms computed
+    once and shared)."""
+    jp, jq = fk_joints(struct, model, q)
+    bj = jnp.asarray(struct.body_joint)
+    bp, bquat = spatial.transform_compose(
+        jnp.take(jp, bj, axis=0), jnp.take(jq, bj, axis=0),
+        model.body_pos, model.body_quat)
+    pts = []
+    for arr, jidx in ((model.cp_pos, struct.cp_joint),
+                      (model.tac_pos, struct.tac_joint)):
+        if len(jidx) == 0:
+            pts.append(jnp.zeros((0, 3), q.dtype))
+        else:
+            idx = jnp.asarray(jidx)
+            pts.append(spatial.transform_apply(
+                jnp.take(jp, idx, axis=0), jnp.take(jq, idx, axis=0), arr))
+    return bp, bquat, jnp.concatenate(pts, axis=0)
+
+
 def ee_positions(struct: Structure, model: Model, q):
     """Stacked world positions of the <variable><endeffector> markers —
     the reference ``get_variables()`` (C10, dclaw_rotate_env.py:97-98)."""
