@@ -12,10 +12,18 @@ Run: python bench.py [--batch N] [--horizon H] [--forward-only]
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import jax
+
+# persistent compile cache: XLA compiles of the long-horizon BPTT graph are
+# expensive; cache them across bench invocations
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 
