@@ -275,9 +275,16 @@ def build(spec: SceneSpec, dtype=None) -> Tuple[Structure, Model]:
         solver_max_ls=spec.solver_max_ls,
     )
     from ..sim import contact as _contact
-    structure = Structure(contact_groups=(), **structure_kwargs)
-    structure = Structure(contact_groups=_contact.build_groups(structure),
+    from ..sim import kinematics as _kin
+    fk_tables = _kin.build_fk_tables(
+        structure_kwargs["joint_types"], structure_kwargs["joint_parents"],
+        structure_kwargs["joint_dof_offset"],
+        np.stack([j.axis0 for j in spec.joints]),
+        np.stack([j.axis1 for j in spec.joints]))
+    structure = Structure(contact_groups=(), fk_tables=fk_tables,
                           **structure_kwargs)
+    structure = Structure(contact_groups=_contact.build_groups(structure),
+                          fk_tables=fk_tables, **structure_kwargs)
 
     model = Model(
         h=f(spec.timestep),

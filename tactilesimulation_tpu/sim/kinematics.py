@@ -29,6 +29,81 @@ from ..model.schema import (
 )
 
 
+def build_fk_tables(joint_types, joint_parents, joint_dof_offset, axis0, axis1):
+    """Host-side compile of the vectorized-FK tables (called by the builder).
+
+    The per-joint-type Python branches of the naive FK produce long scalar op
+    chains that blow up XLA compile times under nested AD; these tables turn
+    the local variable transforms into a handful of (J, ...) batched ops:
+
+    - trans_dof_idx (J,3): q indices (padded-zero slot = ndof) whose gathered
+      values, contracted with trans_basis (J,3,3), give the local translation
+      for every joint type at once,
+    - rot_dof_idx (J,3) + masks: the rotation dofs feeding axis-angle /
+      exp-map / euler quaternion formulas, mask-selected per joint,
+    - levels: topological depth levels (joints at equal depth compose from
+      their parents in one batched transform).
+    """
+    import numpy as np
+    from ..model.schema import (JOINT_FIXED, JOINT_FREE3D_EULER,
+                                JOINT_FREE3D_EXP, JOINT_PLANAR,
+                                JOINT_PRISMATIC, JOINT_REVOLUTE,
+                                JOINT_TRANSLATIONAL)
+
+    J = len(joint_types)
+    ndof = 0
+    for j in range(J):
+        from ..model.schema import JOINT_NDOF
+        ndof = max(ndof, joint_dof_offset[j]
+                   + JOINT_NDOF[joint_types[j]])
+    pad = ndof  # index of the zero slot in q_pad
+
+    trans_idx = np.full((J, 3), pad, dtype=np.int32)
+    rot_idx = np.full((J, 3), pad, dtype=np.int32)
+    basis = np.zeros((J, 3, 3))
+    m_rev = np.zeros((J, 1))
+    m_exp = np.zeros((J, 1))
+    m_eul = np.zeros((J, 1))
+    eye = np.eye(3)
+    for j in range(J):
+        t, off = joint_types[j], joint_dof_offset[j]
+        if t == JOINT_PRISMATIC:
+            trans_idx[j, 0] = off
+            basis[j, :, 0] = axis0[j]
+        elif t == JOINT_PLANAR:
+            trans_idx[j, 0:2] = [off, off + 1]
+            basis[j, :, 0] = axis0[j]
+            basis[j, :, 1] = axis1[j]
+        elif t in (JOINT_TRANSLATIONAL, JOINT_FREE3D_EXP, JOINT_FREE3D_EULER):
+            trans_idx[j] = [off, off + 1, off + 2]
+            basis[j] = eye
+        if t == JOINT_REVOLUTE:
+            rot_idx[j, 0] = off
+            m_rev[j] = 1.0
+        elif t == JOINT_FREE3D_EXP:
+            rot_idx[j] = [off + 3, off + 4, off + 5]
+            m_exp[j] = 1.0
+        elif t == JOINT_FREE3D_EULER:
+            rot_idx[j] = [off + 3, off + 4, off + 5]
+            m_eul[j] = 1.0
+
+    # depth levels
+    depth = [0] * J
+    for j in range(J):
+        depth[j] = 0 if joint_parents[j] < 0 else depth[joint_parents[j]] + 1
+    levels = []
+    for d in range(max(depth) + 1 if J else 0):
+        idx = np.asarray([j for j in range(J) if depth[j] == d],
+                         dtype=np.int32)
+        par = np.asarray([max(joint_parents[j], 0) for j in idx],
+                         dtype=np.int32)
+        is_root = d == 0
+        levels.append((idx, par, is_root))
+    return {"trans_idx": trans_idx, "rot_idx": rot_idx, "basis": basis,
+            "m_rev": m_rev, "m_exp": m_exp, "m_eul": m_eul,
+            "levels": tuple(levels)}
+
+
 def _joint_variable_transform(struct: Structure, model: Model, q, j):
     """Local variable transform Q(q_j) of joint j: (pos (3,), quat (4,))."""
     jt = struct.joint_types[j]
@@ -54,8 +129,8 @@ def _joint_variable_transform(struct: Structure, model: Model, q, j):
     raise ValueError(jt)
 
 
-def fk_joints(struct: Structure, model: Model, q):
-    """World pose of every joint frame: (p (J,3), quat (J,4))."""
+def fk_joints_reference(struct: Structure, model: Model, q):
+    """Naive per-joint unrolled FK — oracle for testing the vectorized path."""
     ps, qs = [], []
     for j in range(struct.njoints):
         par = struct.joint_parents[j]
@@ -71,6 +146,50 @@ def fk_joints(struct: Structure, model: Model, q):
         ps.append(wp)
         qs.append(wq)
     return jnp.stack(ps), jnp.stack(qs)
+
+
+def fk_joints(struct: Structure, model: Model, q):
+    """World pose of every joint frame: (p (J,3), quat (J,4)).
+
+    Vectorized: batched local transforms over all joints + depth-level chain
+    composition (see build_fk_tables). Joints at the same tree depth compose
+    from their parents in one batched quaternion op, so the graph scales with
+    tree DEPTH (<= 8 in the reference scenes), not joint count."""
+    tb = struct.fk_tables
+    dtype = q.dtype
+    q_pad = jnp.concatenate([q, jnp.zeros(1, dtype)])
+    qt = jnp.take(q_pad, jnp.asarray(tb["trans_idx"]))            # (J,3)
+    trans_local = jnp.einsum("jik,jk->ji", jnp.asarray(tb["basis"], dtype), qt)
+    qr = jnp.take(q_pad, jnp.asarray(tb["rot_idx"]))              # (J,3)
+    aa = spatial.axis_angle_quat(model.joint_axis0, qr[:, 0])
+    expq = spatial.rotvec_to_quat(qr)
+    eulq = spatial.euler_xyz_to_quat(qr)
+    m_rev = jnp.asarray(tb["m_rev"], dtype)
+    m_exp = jnp.asarray(tb["m_exp"], dtype)
+    m_eul = jnp.asarray(tb["m_eul"], dtype)
+    m_id = 1.0 - m_rev - m_exp - m_eul
+    ident = jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype)
+    quat_local = (m_rev * aa + m_exp * expq + m_eul * eulq
+                  + m_id * ident[None, :])
+    # frame offset then variable transform (batched)
+    p_loc = model.joint_pos + spatial.quat_rotate(model.joint_quat, trans_local)
+    q_loc = spatial.quat_mul(model.joint_quat, quat_local)
+
+    J = struct.njoints
+    wp = jnp.zeros((J, 3), dtype)
+    wq = jnp.tile(ident, (J, 1))
+    for idx_np, par_np, is_root in tb["levels"]:
+        idx = jnp.asarray(idx_np)
+        if is_root:
+            wp = wp.at[idx].set(p_loc[idx_np])
+            wq = wq.at[idx].set(q_loc[idx_np])
+        else:
+            par = jnp.asarray(par_np)
+            bp = jnp.take(wp, par, axis=0)
+            bq = jnp.take(wq, par, axis=0)
+            wp = wp.at[idx].set(bp + spatial.quat_rotate(bq, p_loc[idx_np]))
+            wq = wq.at[idx].set(spatial.quat_mul(bq, q_loc[idx_np]))
+    return wp, wq
 
 
 def fk_bodies(struct: Structure, model: Model, q):

@@ -125,6 +125,10 @@ class Structure:
     body_gtype: Tuple[int, ...]
     body_names: Tuple[str, ...]
     motor_dof: Tuple[int, ...]        # u index -> q dof index
+    # vectorized-FK compile-time tables (host numpy; see kinematics.py):
+    # trans_dof_idx/rot_dof_idx (J,3) into q padded with a zero slot,
+    # trans_basis (J,3,3), rot masks (J,1), depth levels
+    fk_tables: Any
     cp_joint: Tuple[int, ...]         # per contact point: owning joint
     pairs: Tuple[PairInfo, ...]
     tac_joint: Tuple[int, ...]        # per marker: owning joint
