@@ -252,9 +252,12 @@ class StableGraspEnv(FunctionalEnv):
 
 def make(observation_type: str = "tactile_map", dtype=None,
          scene_path: str = None) -> StableGraspEnv:
-    from ..model.scenes import REFERENCE_SCENES
-    path = scene_path or os.path.join("/root/reference",
-                                      REFERENCE_SCENES["stable_grasp"])
-    spec = xml_parser.parse_scene(path)
-    struct_, model = builder.build(spec, dtype=dtype)
+    """Default: the bundled Python scene (standalone); pass ``scene_path`` to
+    load a redmax XML asset instead."""
+    if scene_path:
+        spec = xml_parser.parse_scene(scene_path)
+        struct_, model = builder.build(spec, dtype=dtype)
+    else:
+        from ..model import task_scenes
+        struct_, model = task_scenes.stable_grasp()
     return StableGraspEnv(struct_, model, observation_type)

@@ -332,9 +332,12 @@ class TactileInsertionEnv(FunctionalEnv):
 
 def make(observation_type: str = "tactile_map", dtype=None,
          scene_path: str = None, **kwargs) -> TactileInsertionEnv:
-    from ..model.scenes import REFERENCE_SCENES
-    path = scene_path or os.path.join("/root/reference",
-                                      REFERENCE_SCENES["tactile_insertion"])
-    spec = xml_parser.parse_scene(path)
-    struct_, model = builder.build(spec, dtype=dtype)
+    """Default: the bundled Python scene (standalone); pass ``scene_path`` to
+    load a redmax XML asset instead."""
+    if scene_path:
+        spec = xml_parser.parse_scene(scene_path)
+        struct_, model = builder.build(spec, dtype=dtype)
+    else:
+        from ..model import task_scenes
+        struct_, model = task_scenes.tactile_insertion()
     return TactileInsertionEnv(struct_, model, observation_type, **kwargs)

@@ -168,10 +168,12 @@ class TactilePushEnv(FunctionalEnv):
 
 def make(observation_type: str = "tactile_flatten", dtype=None,
          scene_path: str = None) -> TactilePushEnv:
-    from ..model.scenes import REFERENCE_SCENES
-    import os
-    path = scene_path or os.path.join("/root/reference",
-                                      REFERENCE_SCENES["tactile_push"])
-    spec = xml_parser.parse_scene(path)
-    struct_, model = builder.build(spec, dtype=dtype)
+    """Default: the bundled Python scene (standalone); pass ``scene_path`` to
+    load a redmax XML asset instead."""
+    if scene_path:
+        spec = xml_parser.parse_scene(scene_path)
+        struct_, model = builder.build(spec, dtype=dtype)
+    else:
+        from ..model import task_scenes
+        struct_, model = task_scenes.tactile_push()
     return TactilePushEnv(struct_, model, observation_type)

@@ -57,10 +57,11 @@ class SceneBuilder:
                   lim_stiffness=0.0) -> int:
         a0 = np.asarray(axis, dtype=np.float64)
         a1 = np.asarray(axis1, dtype=np.float64)
+        quat = np.asarray(quat, dtype=np.float64)
         self.spec.joints.append(JointSpec(
             name=name, jtype=JOINT_TYPE_NAMES[jtype], parent=parent,
             pos=np.asarray(pos, dtype=np.float64),
-            quat=np.asarray(quat, dtype=np.float64),
+            quat=quat / np.linalg.norm(quat),
             axis0=a0 / np.linalg.norm(a0), axis1=a1 / np.linalg.norm(a1),
             damping=damping, lim=lim, lim_stiffness=lim_stiffness))
         return len(self.spec.joints) - 1
@@ -85,6 +86,25 @@ class SceneBuilder:
             contact_radius_resolution=contact_radius_resolution,
             rgba=np.asarray(rgba, dtype=np.float64)))
         return len(self.spec.bodies) - 1
+
+    def add_mesh_body(self, name, joint, density=1000.0, extent=0.04,
+                      pos=(0, 0, 0), quat=(1, 0, 0, 0)):
+        """Visual-mesh link: fallback-box inertia, no collision (matches the
+        XML path's treatment of the reference's visual-only mesh bodies)."""
+        from .schema import GEOM_MESH
+        self.spec.bodies.append(BodySpec(
+            name=name, joint=joint, gtype=GEOM_MESH,
+            pos=np.asarray(pos, dtype=np.float64),
+            quat=np.asarray(quat, dtype=np.float64),
+            size=np.full(3, extent), density=density))
+        return len(self.spec.bodies) - 1
+
+    def add_virtual(self, name, pos, size, quat=(1, 0, 0, 0), texture=""):
+        from .schema import VirtualObjectSpec
+        self.spec.virtuals.append(VirtualObjectSpec(
+            name=name, pos=np.asarray(pos, dtype=np.float64),
+            quat=np.asarray(quat, dtype=np.float64),
+            size=np.asarray(size, dtype=np.float64), texture=texture))
 
     def add_motor(self, joint, ctrl="force", P=0.0, D=0.0,
                   ctrl_range=(-np.inf, np.inf)):

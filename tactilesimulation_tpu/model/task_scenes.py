@@ -1,0 +1,245 @@
+"""Bundled task scenes — first-class Python constructions of the benchmark
+scenes, so the framework is standalone (no reference checkout needed).
+
+Scene parameters (geometry, stiffnesses, sensor layouts) are the physical
+facts of the benchmark tasks, transcribed from the scene descriptions in
+SURVEY.md §2.4; each constructor documents its exemplar. The XML front-end
+(xml_parser.py) remains available for loading original redmax asset files,
+and tests assert the bundled scenes build identical Structure/Model pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .scenes import SceneBuilder
+
+_WSG_DEFAULT = dict(  # <default> block of the gripper scenes
+    joint_lim_stiffness=10.0, joint_damping=2.0)
+
+
+def _wsg50_gripper(b: SceneBuilder, base_joint="translational",
+                   base_damping=2.0, rot_damping=0.2, finger="prismatic",
+                   finger_damping=2.0, lim_stiffness=10.0,
+                   pusher_layout=False):
+    """WSG-50 gripper chain with two GelSlim tactile pads.
+
+    Exemplars: stable_grasp.xml:15-48 (translational base + revolute +
+    prismatic fingers), pusher.xml:15-36 (revolute base + planar, single
+    finger). Mesh links are visual-only in the reference (no collision);
+    they appear here as the same fallback-inertia bodies the XML path
+    produces.
+    """
+    if pusher_layout:
+        j_rot = b.add_joint("gripper_base_rotational", "revolute",
+                            axis=(0, 0, 1), pos=(0.02, 0, 0.18), damping=2.0)
+        b.add_body("gripper_base_virtual", j_rot, "cuboid",
+                   size=(0.001, 0.001, 0.001), density=0.01)
+        j_base = b.add_joint("gripper_base_translational", "planar",
+                             parent=j_rot, axis=(1, 0, 0), axis1=(0, 1, 0),
+                             damping=2.0)
+        b.add_mesh_body("gripper_base", j_base, density=1000.0)
+        sides = [("left", (0, 1, 0, 0), "fixed")]
+        parent = j_base
+    else:
+        j_base = b.add_joint("gripper_base_translational", "translational",
+                             damping=base_damping)
+        b.add_body("gripper_base_virtual", j_base, "cuboid",
+                   size=(0.001, 0.001, 0.001), density=0.01)
+        j_rot = b.add_joint("gripper_base_rotational", "revolute",
+                            parent=j_base, axis=(0, 0, 1), damping=rot_damping)
+        b.add_mesh_body("gripper_base", j_rot, density=1.0)
+        sides = [("left", (0, 1, 0, 0), finger), ("right", (0, 0, 1, 0), finger)]
+        parent = j_rot
+
+    pads = []
+    for side, quat, ftype in sides:
+        j_guide = b.add_joint(f"gripper_{side}_joint", ftype, parent=parent,
+                              axis=(1, 0, 0), lim=(-0.055, 0.0), quat=quat,
+                              damping=finger_damping,
+                              lim_stiffness=lim_stiffness)
+        b.add_mesh_body(f"gripper_{side}_guide", j_guide, density=1000.0)
+        j_finger = b.add_joint(f"finger_{side}_joint", "fixed", parent=j_guide)
+        b.add_mesh_body(f"finger_{side}", j_finger, density=1000.0)
+        j_pad = b.add_joint(f"tactile_pad_{side}_joint", "fixed",
+                            parent=j_finger, pos=(0.004, 0, 0.1472),
+                            quat=(0.707, 0, 0.707, 0))
+        pad = b.add_body(f"tactile_pad_{side}", j_pad, "cylinder",
+                         size=(0.018, 0.003), density=1.0,
+                         contact_angle_resolution=8,
+                         contact_radius_resolution=4)
+        pads.append((pad, j_pad))
+    return pads
+
+
+def _add_pad_sensor(b, name, pad_body, kn, kt, mu, damping):
+    """13x10 GelSlim marker grid (pusher.xml:61, stable_grasp.xml:174-175)."""
+    b.add_rect_tactile(name, pad_body,
+                       rect_pos0=(0.007, 0.00675, 0.0015),
+                       rect_pos1=(-0.011, -0.00675, 0.0015),
+                       axis0=(-1, 0, 0), axis1=(0, -1, 0), rows=13, cols=10,
+                       kn=kn, kt=kt, mu=mu, damping=damping)
+
+
+def tactile_push():
+    """TactilePush scene (exemplar: envs/assets/pusher/pusher.xml)."""
+    b = SceneBuilder("wsg_50", integrator="BDF1", timestep=5e-3,
+                     ground=(0, 0, 0))
+    b.spec.solver_tol = 1e-8
+    pads = _wsg50_gripper(b, pusher_layout=True)
+    (pad_body, pad_joint) = pads[0]
+
+    j_boxt = b.add_joint("box_translational_joint", "translational",
+                         pos=(0.05, 0, 0.025))
+    b.add_body("box_translational_joint", j_boxt, "cuboid",
+               size=(0.001, 0.001, 0.001), density=0.01)
+    j_box = b.add_joint("box", "revolute", parent=j_boxt, axis=(0, 0, 1))
+    box = b.add_body("box", j_box, "cuboid", size=(0.05, 0.05, 0.05),
+                     density=600.0, contact_resolution=(2, 2, 2))
+
+    b.add_ground_contact(box, kn=1e3, kt=1.0, mu=0.8, damping=0.3)
+    b.add_contact(pad_body, box, kn=1e2, kt=8.0, mu=1.0, damping=1e1)
+    _add_pad_sensor(b, "tactile_pad_left", pad_body, kn=1e2, kt=8.0, mu=1.0,
+                    damping=1e1)
+
+    b.add_motor(b.spec.joint_index("gripper_base_translational"),
+                ctrl="force", P=10, D=0.1, ctrl_range=(-1, 1))
+    b.add_motor(b.spec.joint_index("gripper_base_rotational"),
+                ctrl="force", P=10, D=0.1, ctrl_range=(-3, 3))
+    b.add_motor(j_boxt, ctrl="force", P=10, D=0.1, ctrl_range=(-0.2, 0.2))
+
+    b.add_endeffector("tactile_pad_left_joint", pad_joint,
+                      pos=(-0.007, 0, 0))
+    b.add_endeffector("box", j_box, pos=(-0.025, 0, 0))
+    b.add_virtual("goal", pos=(1, 0, 0.025), size=(0.05, 0.05, 0.05))
+    return b.build()
+
+
+def stable_grasp():
+    """StableGrasp scene (exemplar: envs/assets/stable_grasp/stable_grasp.xml):
+    gripper + 11-block bar (free3d-euler root, fixed chain) + 2 tables."""
+    b = SceneBuilder("wsg_50", integrator="BDF1", timestep=5e-3,
+                     ground=(0, 0, 0))
+    b.spec.solver_tol = 1e-8
+    pads = _wsg50_gripper(b)
+
+    # bar: box_4 root, boxes 3..1,8,9 on -y; 5..7,10,11 on +y
+    j_root = b.add_joint("box_4", "free3d-euler", pos=(0, 0, 0.0525))
+    blocks = {}
+    blocks[4] = b.add_body("box_4", j_root, "cuboid",
+                           size=(0.025, 0.025, 0.025), density=600.0,
+                           contact_resolution=(3, 3, 2))
+    chains = [(4, [3, 2, 1, 8, 9], -0.025), (4, [5, 6, 7, 10, 11], 0.025)]
+    for root_id, chain, dy in chains:
+        parent = j_root
+        for bid in chain:
+            j = b.add_joint(f"box_{bid}", "fixed", parent=parent,
+                            pos=(0, dy, 0))
+            blocks[bid] = b.add_body(f"box_{bid}", j, "cuboid",
+                                     size=(0.025, 0.025, 0.025),
+                                     density=600.0,
+                                     contact_resolution=(3, 3, 2))
+            parent = j
+
+    tables = []
+    for i, y in ((1, 0.1), (2, -0.1)):
+        j = b.add_joint(f"table_{i}", "fixed", pos=(0, y, 0.02))
+        tables.append(b.add_body(f"table_{i}", j, "cuboid",
+                                 size=(0.05, 0.03, 0.04), density=1000.0,
+                                 contact_resolution=(6, 6, 2)))
+
+    for bid in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11]:
+        b.add_ground_contact(blocks[bid], kn=1e3, kt=1.0, mu=0.8,
+                             damping=0.003)
+    for (pad_body, _) in pads:
+        for bid in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11]:
+            b.add_contact(pad_body, blocks[bid], kn=8e3, kt=80.0, mu=1.5,
+                          damping=1e3)
+    for t in tables:
+        for bid in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11]:
+            b.add_contact(blocks[bid], t, kn=5e3, kt=5.0, mu=1.5, damping=1e2)
+
+    b.add_motor(b.spec.joint_index("gripper_base_translational"),
+                ctrl="position", P=400, D=1.0, ctrl_range=(-10, 10))
+    b.add_motor(b.spec.joint_index("gripper_base_rotational"),
+                ctrl="position", P=10, D=0.1, ctrl_range=(-2.6, 2.6))
+    b.add_motor(b.spec.joint_index("gripper_left_joint"),
+                ctrl="position", P=50, D=0.1, ctrl_range=(-2.6, 2.6))
+    b.add_motor(b.spec.joint_index("gripper_right_joint"),
+                ctrl="position", P=50, D=0.1, ctrl_range=(-2.6, 2.6))
+
+    for (pad_body, _), name in zip(pads, ("tactile_pad_left",
+                                          "tactile_pad_right")):
+        _add_pad_sensor(b, name, pad_body, kn=250.0, kt=1.25, mu=1.5,
+                        damping=25.0)
+    return b.build()
+
+
+def tactile_insertion():
+    """TactileInsertion scene (exemplar:
+    envs/assets/tactile_insertion/tactile_insertion.xml): gripper (force
+    fingers) + free box + 4 hole walls."""
+    b = SceneBuilder("wsg_50", integrator="BDF1", timestep=5e-3,
+                     ground=(0, 0, 0))
+    b.spec.solver_tol = 1e-8
+    # tactile_insertion.xml:9 uses lim_stiffness default 5e2
+    pads = _wsg50_gripper(b, finger_damping=20.0, lim_stiffness=5e2)
+
+    j_box = b.add_joint("box", "free3d-euler", pos=(0, 0, 0.03))
+    box = b.add_body("box", j_box, "cuboid", size=(0.035, 0.05, 0.06),
+                     density=600.0, contact_resolution=(5, 5, 2))
+    holes = []
+    for name, pos, size, res in (
+            ("hole_1", (0, 0.04725, 0.0125), (0.1195, 0.04, 0.025), (10, 2, 2)),
+            ("hole_2", (0, -0.04725, 0.0125), (0.1195, 0.04, 0.025), (10, 2, 2)),
+            ("hole_3", (0.03975, 0, 0.0125), (0.04, 0.0545, 0.025), (2, 5, 2)),
+            ("hole_4", (-0.03975, 0, 0.0125), (0.04, 0.0545, 0.025), (2, 5, 2))):
+        j = b.add_joint(name, "fixed", pos=pos)
+        holes.append(b.add_body(name, j, "cuboid", size=size, density=1000.0,
+                                contact_resolution=res))
+
+    b.add_ground_contact(box, kn=1e3, kt=1.0, mu=0.8, damping=0.003)
+    for (pad_body, _) in pads:
+        b.add_contact(pad_body, box, kn=8e3, kt=80.0, mu=1.5, damping=1e3)
+    for h in holes:
+        b.add_contact(box, h, kn=5e3, kt=5.0, mu=1.5, damping=1e2)
+        b.add_contact(h, box, kn=5e3, kt=5.0, mu=1.5, damping=1e2)
+
+    b.add_motor(b.spec.joint_index("gripper_base_translational"),
+                ctrl="position", P=200, D=1.0, ctrl_range=(-2.6, 2.6))
+    b.add_motor(b.spec.joint_index("gripper_base_rotational"),
+                ctrl="position", P=10, D=0.1, ctrl_range=(-2.6, 2.6))
+    b.add_motor(b.spec.joint_index("gripper_left_joint"), ctrl="force",
+                P=10, D=0.1, ctrl_range=(-20, 20))
+    b.add_motor(b.spec.joint_index("gripper_right_joint"), ctrl="force",
+                P=10, D=0.1, ctrl_range=(-20, 20))
+    for (pad_body, _), name in zip(pads, ("tactile_pad_left",
+                                          "tactile_pad_right")):
+        _add_pad_sensor(b, name, pad_body, kn=250.0, kt=1.25, mu=1.5,
+                        damping=25.0)
+    return b.build()
+
+
+def rolling_ball(resolution=200):
+    """RollingBall dense-field scene (exemplar:
+    assets/tactile_pad/tactile_pad.xml): force-controlled pad with a
+    resolution^2 marker grid over a free sphere, BDF2."""
+    b = SceneBuilder("tactile-pad", integrator="BDF2", timestep=5e-3,
+                     ground=(0, 0, 0))
+    j_pad = b.add_joint("pad_joint", "translational", pos=(0, 0, 0.06),
+                        damping=1.0)
+    pad = b.add_body("pad_body", j_pad, "cuboid", size=(0.05, 0.05, 0.01),
+                     density=1000.0, contact_resolution=(20, 20, 20))
+    j_obj = b.add_joint("object_joint", "free3d-exp", pos=(0, 0, 0.02))
+    obj = b.add_body("object", j_obj, "sphere", size=(0.02,), density=1.0)
+
+    b.add_ground_contact(obj, kn=5e3, kt=1.0, mu=0.8, damping=0.03)
+    b.add_contact(pad, obj, kn=5.0, kt=1.0, mu=1.0, damping=1.0)
+    b.add_motor(j_pad, ctrl="force", ctrl_range=(-1, 1))
+    b.add_rect_tactile("pad", pad,
+                       rect_pos0=(-0.025, 0.025, -0.005),
+                       rect_pos1=(0.025, -0.025, -0.005),
+                       axis0=(0, -1, 0), axis1=(1, 0, 0),
+                       rows=resolution, cols=resolution,
+                       kn=1.0, kt=0.01, mu=2.0, damping=0.003)
+    return b.build()
