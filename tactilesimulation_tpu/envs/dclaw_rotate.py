@@ -178,11 +178,15 @@ class DClawRotateEnv(FunctionalEnv):
 def make(observation_type: str = "tactile", torque_control: bool = False,
          relative_control: bool = True, dtype=None,
          scene_path: str = None) -> DClawRotateEnv:
-    from ..model.scenes import REFERENCE_SCENES
-    name = "dclaw_torque" if torque_control else "dclaw_position"
-    path = scene_path or os.path.join("/root/reference",
-                                      REFERENCE_SCENES[name])
-    spec = xml_parser.parse_scene(path)
-    struct_, model = builder.build(spec, dtype=dtype)
+    """Default: the bundled procedural D'Claw (standalone; idealized link
+    geometry — the reference's meshes are absent from its checkout). Pass
+    ``scene_path`` to load original dclaw_*_control.xml assets (with their
+    contact/tactile sidecar files) instead."""
+    if scene_path:
+        spec = xml_parser.parse_scene(scene_path)
+        struct_, model = builder.build(spec, dtype=dtype)
+    else:
+        from ..model import task_scenes
+        struct_, model = task_scenes.dclaw()
     return DClawRotateEnv(struct_, model, observation_type, torque_control,
                           relative_control)

@@ -243,3 +243,122 @@ def rolling_ball(resolution=200):
                        rows=resolution, cols=resolution,
                        kn=1.0, kt=0.01, mu=2.0, damping=0.003)
     return b.build()
+
+
+def dclaw(n_tactile_per_finger=300, seed=0):
+    """Procedural D'Claw cap-rotation scene.
+
+    Capability-parity construction of the reference scene
+    (envs/assets/dclaw_rotate/dclaw_position_control.xml): a 9-DoF
+    three-finger claw (3 revolute joints per finger, same dof order and
+    limits) above a fixed bottle with a revolute cap, abstract tactile
+    sensors on each fingertip, and 4 endeffector markers. The reference's
+    link geometry comes from meshes absent in this checkout, so links here
+    are idealized cylinders and the fingertip tactile markers are sampled on
+    a spherical cap (mirroring what make_tactile.py:14-22 does with mesh
+    vertices); masses/inertias use the reference's published values.
+    """
+    rng = np.random.RandomState(seed)
+    b = SceneBuilder("dclaw", integrator="BDF1", timestep=5e-3,
+                     ground=(0, 0, -0.1))
+    b.spec.solver_tol = 1e-8
+
+    link_len = 0.0685
+    tip_len = 0.0545
+    link_r = 0.012
+    finger_lims = [(-0.45, 1.35), (-2.0, 2.0), (-2.0, 2.0)]
+    # reference masses: 0.093 kg links, 0.025 kg fingertip
+    link_mass_density = 0.093 / (np.pi * link_r**2 * link_len)
+    tip_density = 0.025 / (np.pi * link_r**2 * tip_len)
+
+    j_base = b.add_joint("base_link", "fixed", pos=(0, 0, 0.25))
+    b.add_body("base_link", j_base, "cylinder", size=(0.05, 0.02),
+               density=0.12418 / (np.pi * 0.05**2 * 0.02))
+
+    tip_bodies = []
+    for fi, (fname, theta) in enumerate(
+            [("one", np.pi / 3), ("two", -np.pi / 3), ("three", np.pi)]):
+        c, s = np.cos(theta), np.sin(theta)
+        # root: radial frame, local +y tangential, links extend along -z
+        root_quat = (np.cos(theta / 2), 0.0, 0.0, np.sin(theta / 2))
+        j0 = b.add_joint(f"{fname}0_jnt", "fixed", parent=j_base,
+                         pos=(0.06 * c, 0.06 * s, -0.01), quat=root_quat)
+        b.add_body(f"{fname}0_link", j0, "cylinder", size=(link_r, 0.02),
+                   density=link_mass_density * 0.3)
+        parent = j0
+        for li in range(1, 4):
+            pos = (0, 0, 0) if li == 1 else (0, 0, -link_len)
+            j = b.add_joint(f"{fname}{li}_jnt", "revolute", parent=parent,
+                            pos=pos, axis=(1, 0, 0), lim=finger_lims[li - 1],
+                            damping=0.2, lim_stiffness=10.0)
+            if li < 3:
+                b.add_body(f"{fname}{li}_link", j, "cylinder",
+                           size=(link_r, link_len), pos=(0, 0, -link_len / 2),
+                           density=link_mass_density)
+            else:
+                # fingertip: cylinder body + explicit hemispherical contact
+                # points and tactile markers at the tip
+                tip = b.add_body(f"{fname}{li}_link", j, "cylinder",
+                                 size=(link_r, tip_len),
+                                 pos=(0, 0, -tip_len / 2),
+                                 density=tip_density)
+                tip_bodies.append((tip, j, fname))
+            parent = j
+
+    # fingertip hemisphere point cloud + tactile spec (body frame: cylinder
+    # centered at (0,0,-tip_len/2), tip pole at z = -tip_len)
+    def hemisphere(n, r, center_z):
+        pts, nrm = [], []
+        g = (1 + 5**0.5) / 2
+        for i in range(n):
+            zfrac = (i + 0.5) / n            # 0..1 over the lower hemisphere
+            phi = np.arccos(-zfrac)           # polar from equator to pole
+            az = 2 * np.pi * i / g
+            d = np.array([np.sin(phi) * np.cos(az), np.sin(phi) * np.sin(az),
+                          np.cos(phi)])
+            pts.append(np.array([0, 0, center_z]) + r * d)
+            nrm.append(d)
+        return np.asarray(pts), np.asarray(nrm)
+
+    from .schema import TactileSpec
+    for tip, j_tip, fname in tip_bodies:
+        pts, nrm = hemisphere(n_tactile_per_finger, link_r,
+                              -tip_len + link_r * 0.2)
+        body = b.spec.bodies[tip]
+        # contact points: subsample the same hemisphere
+        body.contact_points = pts[::6].copy()
+        # tactile frame: axis0/axis1 tangent to the sphere
+        a0 = np.cross(nrm, np.array([0.0, 0.0, 1.0]))
+        bad = np.linalg.norm(a0, axis=1) < 1e-6
+        a0[bad] = np.array([1.0, 0.0, 0.0])
+        a0 /= np.linalg.norm(a0, axis=1, keepdims=True)
+        a1 = np.cross(nrm, a0)
+        image_pos = np.clip(((pts[:, :2] + 0.012) / 0.024 * 19), 0,
+                            19).astype(np.int32)
+        b.spec.tactiles.append(TactileSpec(
+            name=f"{fname}3_link_fingertip", body=tip, pos=pts, normal=nrm,
+            axis0=a0, axis1=a1, image_pos=image_pos, rows=20, cols=20,
+            kn=1e3, kt=1.0, mu=1.2, damping=0.003))
+
+    j_bottle = b.add_joint("bottle", "fixed", parent=-1, pos=(0, 0, 0.25 - 0.29),
+                           damping=0.01)
+    b.add_body("bottle", j_bottle, "cylinder", size=(0.04, 0.12),
+               density=600.0)
+    j_cap = b.add_joint("cap", "revolute", parent=j_bottle, axis=(0, 0, 1),
+                        pos=(0, 0, 0.075), damping=0.01)
+    cap = b.add_body("cap", j_cap, "cylinder", size=(0.04, 0.03),
+                     density=600.0)
+
+    for tip, j_tip, fname in tip_bodies:
+        b.add_contact(tip, cap, kn=1e3, kt=5.0, mu=1.5, damping=1e2)
+
+    for fname in ("one", "two", "three"):
+        for li in range(1, 4):
+            b.add_motor(b.spec.joint_index(f"{fname}{li}_jnt"),
+                        ctrl="position", P=10.0, D=0.1,
+                        ctrl_range=(-2.6, 2.6))
+
+    for i, (tip, j_tip, fname) in enumerate(tip_bodies):
+        b.add_endeffector(f"finger{i + 1}", j_tip, pos=(0, 0, -tip_len))
+    b.add_endeffector("cap", j_cap, pos=(0.04, 0, 0))
+    return b.build()
