@@ -199,7 +199,7 @@ class PPO:
             value, logp, entropy = jax.vmap(
                 lambda o, a: ac.apply(params, o, a,
                                       method=ac.evaluate_actions))(obs, actions)
-            value, logp = value[:, 0], logp[:, 0, 0]
+            value, logp = value[:, 0], logp[:, 0]
             entropy = entropy.mean()
             ratio = jnp.exp(logp - old_logp)
             surr1 = ratio * advs

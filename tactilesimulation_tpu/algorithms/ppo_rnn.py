@@ -165,7 +165,7 @@ class PPORNN:
                 o, m, a = xs
                 value, logp, entropy, h = ac.apply(
                     params, o, h, m, a, method=ac.evaluate_actions)
-                return h, (value[0], logp[0, 0], entropy)
+                return h, (value[0], logp[0], entropy)
 
             _, (values, logps, entropies) = jax.lax.scan(
                 body, h0, (obs_seq, mask_seq, act_seq))

@@ -187,12 +187,17 @@ class ActorCriticRNN(nn.Module):
     """CNN -> stacked GRU -> actor/critic (reference utils/model.py:213-330).
 
     Hidden state layout: (layers, hidden) flattened to (layers*hidden,) for
-    storage parity with the reference's recurrent_hidden_state_size."""
+    storage parity with the reference's recurrent_hidden_state_size.
+    With ``feature_mlp`` instead of ``feature_cnn`` in the config this is the
+    reference's ActorCriticMLPRNN (utils/model.py:332-449)."""
     action_dim: int
     cfg: Dict[str, Any]
 
     def setup(self):
-        self.feature_net = CNN(self.cfg["feature_cnn"])
+        if "feature_mlp" in self.cfg:
+            self.feature_net = MLP(self.cfg["feature_mlp"])
+        else:
+            self.feature_net = CNN(self.cfg["feature_cnn"])
         self.hidden = self.cfg["rnn_hidden_size"]
         self.layers = self.cfg["rnn_hidden_layers"]
         self.cells = [nn.GRUCell(self.hidden, name=f"gru{i}")
@@ -230,3 +235,7 @@ class ActorCriticRNN(nn.Module):
     def evaluate_actions(self, obs, hxs, mask, actions):
         dist, value, new_hxs = self(obs, hxs, mask)
         return value, dist.log_prob(actions), dist.entropy(), new_hxs
+
+
+#: reference name alias (utils/model.py:332) — same module, MLP features
+ActorCriticMLPRNN = ActorCriticRNN
