@@ -33,11 +33,29 @@ def main():
     ap.add_argument("--horizon", type=int, default=150)
     ap.add_argument("--forward-only", action="store_true")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the step in the backward pass instead "
+                         "of storing per-substep residuals. Measured on TPU "
+                         "v5e: SLOWER (17.5 vs 27.6 rollouts/s at B=1024) — "
+                         "this graph is dispatch-latency-bound, not "
+                         "HBM-bound — and faults the device at B=4096")
+    ap.add_argument("--max-iter", type=int, default=0,
+                    help="override the scene's Newton/chord iteration count")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="substep-loop unroll factor (1..frame_skip)")
     args = ap.parse_args()
+
+    import dataclasses
 
     from tactilesimulation_tpu.envs import tactile_push
 
     env = tactile_push.make("no_tactile")
+    env.substep_unroll = args.unroll
+    if args.max_iter:
+        env.struct = dataclasses.replace(env.struct,
+                                         solver_max_iter=args.max_iter)
+        from tactilesimulation_tpu.sim import integrators
+        env._step_sim = integrators.build_step(env.struct)
     B, H = args.batch, args.horizon
 
     def rollout_reward(us, key):
@@ -50,6 +68,8 @@ def main():
             st, obs, r, d, info = env.step(st, u)
             return (st, obs), r
 
+        if args.remat:
+            body = jax.checkpoint(body)
         (_, _), rewards = jax.lax.scan(body, (state, obs), us)
         return jnp.sum(rewards)
 
@@ -66,6 +86,15 @@ def main():
 
     out = fn(us, keys)  # compile
     jax.tree.map(lambda x: x.block_until_ready(), out)
+    # sanity guard: a faulted/unhealthy device can return instantly with
+    # garbage — never report a throughput number for a wrong computation
+    checksum = float(jax.tree.reduce(
+        lambda a, x: a + jnp.sum(jnp.abs(x)), out, jnp.zeros(())))
+    if not (checksum > 0 and checksum < float("inf")):
+        print(json.dumps({"metric": "diff_rollouts_per_s_per_chip",
+                          "value": None, "unit": "INVALID: gradient checksum "
+                          f"= {checksum}", "vs_baseline": None}))
+        return None
 
     best = float("inf")
     for _ in range(args.repeats):

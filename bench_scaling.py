@@ -1,0 +1,135 @@
+"""Multi-device scaling-efficiency harness (BASELINE.md north star:
+>= 80% solves/s efficiency at 2 hosts).
+
+Measures batched differentiable-rollout *solves/s* (one solve = one GD update
+over an episode batch: rollout + BPTT grad + psum + Adam) at 1 device and at
+N devices with the episode axis sharded over a ``jax.sharding.Mesh`` and
+parameters replicated (the framework's replacement for the reference's
+SubprocVecEnv pool, SURVEY.md §2.5), then reports
+
+    efficiency = (solves/s at N devices) / (N * solves/s at 1 device)
+
+On real hardware the mesh axis spans chips (ICI) and hosts (DCN via
+``jax.distributed.initialize``); in this environment it runs on the 8-device
+virtual CPU mesh (``--virtual 8``) which exercises the identical program,
+shardings, and collectives XLA would emit multi-chip.
+
+Run: python bench_scaling.py [--virtual 8] [--devices 1 2 4 8]
+     [--episodes-per-device 8] [--horizon 10] [--repeats 3]
+Prints one JSON line: {"metric": "scaling_efficiency_<N>dev", ...}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--virtual", type=int, default=0,
+                    help="force N virtual CPU devices (0 = use real devices)")
+    ap.add_argument("--devices", type=int, nargs="+", default=None,
+                    help="device counts to measure (default: 1 and all)")
+    ap.add_argument("--episodes-per-device", type=int, default=8)
+    ap.add_argument("--horizon", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--env", type=str, default="pendulum",
+                    choices=["pendulum", "tactile_push"])
+    args = ap.parse_args()
+
+    if args.virtual:
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count="
+            f"{args.virtual}").strip()
+    import jax
+
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    import optax
+
+    from tactilesimulation_tpu.models import nets
+    from tactilesimulation_tpu.parallel import mesh as meshlib
+
+    if args.env == "pendulum":
+        from tactilesimulation_tpu.envs import pendulum
+        env = pendulum.make()
+    else:
+        from tactilesimulation_tpu.envs import tactile_push
+        env = tactile_push.make("no_tactile")
+    env.max_episode_steps = args.horizon
+
+    actor = nets.DiagGaussianActor(
+        env.ndof_u, {"actor_mlp": {"layer_sizes": [16, 16],
+                                   "activation": "elu"},
+                     "actor_logstd_init": -1.0})
+    obs_dim = env.obs_size()[0]
+    params0 = actor.init(jax.random.PRNGKey(0), jnp.zeros(obs_dim))
+    optimizer = optax.adam(1e-3)
+
+    def policy_apply(p, obs):
+        return actor.apply(p, obs, deterministic=True, method=actor.act)
+
+    run = env.rollout_fn(policy_apply, args.horizon)
+
+    def update(params, opt_state, keys):
+        def loss_fn(p):
+            rewards, _, _ = jax.vmap(run, in_axes=(None, 0))(p, keys)
+            return -jnp.mean(jnp.sum(rewards, axis=-1))
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    ndev_all = len(jax.devices())
+    counts = args.devices or sorted({1, ndev_all})
+    results = {}
+    for n in counts:
+        if n > ndev_all:
+            print(f"skip {n} devices (only {ndev_all} available)",
+                  file=sys.stderr)
+            continue
+        m = meshlib.make_mesh(n)
+        step = meshlib.episode_sharded_update(m, update)
+        episodes = args.episodes_per_device * n
+        keys = meshlib.shard_batch(
+            m, jax.random.split(jax.random.PRNGKey(1), episodes))
+        params = meshlib.replicate(m, params0)
+        opt_state = meshlib.replicate(m, optimizer.init(params0))
+
+        out = step(params, opt_state, keys)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = step(params, opt_state, keys)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        results[n] = 1.0 / best  # solves (updates) per second
+        print(f"{n} device(s): {results[n]:.2f} solves/s "
+              f"({episodes} episodes/solve)", file=sys.stderr)
+
+    n_max = max(results)
+    eff = results[n_max] / (n_max * results[1]) if 1 in results else None
+    out = {
+        "metric": f"scaling_efficiency_{n_max}dev",
+        "value": round(eff, 4) if eff is not None else None,
+        "unit": (f"solves/s efficiency vs {n_max}x 1-device "
+                 f"({args.env}, H={args.horizon}, "
+                 f"{args.episodes_per_device} eps/dev, "
+                 f"{'virtual-cpu' if args.virtual else 'real'} mesh)"),
+        "vs_baseline": (round(eff / 0.8, 4) if eff is not None else None),
+        "solves_per_s": {str(k): round(v, 3) for k, v in results.items()},
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    sys.exit(0 if main() else 1)

@@ -1,0 +1,19 @@
+"""Argument parsers for the TactilePush experiments — surface parity with the
+reference examples/TactilePushExp/arguments.py (P23): ``get_rl_parser`` /
+``get_gd_parser`` expose cfg/play/checkpoint/record/logdir/no-time-stamp/
+save-log-render-interval/seed/device/stochastic/num-games/render flags.
+
+Implementation is shared in tactilesimulation_tpu.utils.config.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "../.."))
+
+from tactilesimulation_tpu.utils.config import (  # noqa: E402,F401
+    get_base_parser,
+    get_gd_parser,
+    get_rl_parser,
+)

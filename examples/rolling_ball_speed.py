@@ -23,8 +23,10 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=350)
-    ap.add_argument("--scene", type=str,
-                    default="/root/reference/assets/tactile_pad/tactile_pad.xml")
+    ap.add_argument("--scene", type=str, default="",
+                    help="redmax XML scene (default: the bundled procedural "
+                         "200x200 tactile-pad scene)")
+    ap.add_argument("--resolution", type=int, default=200)
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--batch", type=int, default=1,
                     help="batched copies of the sim (vmap) — throughput mode "
@@ -39,8 +41,12 @@ def main():
     from tactilesimulation_tpu.model import builder, xml_parser
     from tactilesimulation_tpu.sim.simulation import Simulator
 
-    spec = xml_parser.parse_scene(args.scene)
-    struct, model = builder.build(spec)
+    if args.scene:
+        spec = xml_parser.parse_scene(args.scene)
+        struct, model = builder.build(spec)
+    else:
+        from tactilesimulation_tpu.model import task_scenes
+        struct, model = task_scenes.rolling_ball(resolution=args.resolution)
     sim = Simulator(struct, model)
     print(f"scene '{struct.name}': ndof_r={struct.ndof_q} "
           f"ndof_u={struct.ndof_u} markers={struct.ndof_tactile // 3}")

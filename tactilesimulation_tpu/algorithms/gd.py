@@ -34,6 +34,7 @@ import optax
 
 from ..models import nets
 from ..utils import logging as log
+from ..utils import profiling
 from ..utils.running_mean_std import RunningMeanStd
 
 
@@ -56,6 +57,11 @@ class GD:
         self.betas = tuple(config.get("betas", (0.9, 0.999)))
         self.use_obs_rms = config.get("obs_rms", False)
         self.logdir = logdir
+        # §5.1 upgrade over the reference: device-trace profiling. Set cfg
+        # config.profile_epochs = [lo, hi) to capture a JAX profiler trace of
+        # those epochs into <logdir>/profile (TensorBoard PROFILE tab).
+        self.profile_epochs = tuple(config.get("profile_epochs", ()))
+        self.timer = profiling.PhaseTimer()
 
         actor_name = network.get("actor", "DiagGaussianActor")
         assert actor_name == "DiagGaussianActor", (
@@ -135,10 +141,23 @@ class GD:
 
         if self.logdir:
             self.save("init_policy")
+        profile_ctx = None
         for epoch in range(self.num_epochs):
+            if self.profile_epochs and self.logdir:
+                if epoch == self.profile_epochs[0]:
+                    profile_ctx = profiling.trace(
+                        os.path.join(self.logdir, "profile"))
+                    profile_ctx.__enter__()
+                elif epoch == self.profile_epochs[1] and profile_ctx:
+                    profile_ctx.__exit__(None, None, None)
+                    profile_ctx = None
             key, *ekeys = jax.random.split(key, self.num_episodes + 1)
-            self.params, self.opt_state, loss, aux, gnorm = self._update(
-                self.params, self.opt_state, jnp.stack(ekeys), self.obs_rms)
+            with self.timer.phase("update") as box:
+                out = self._update(
+                    self.params, self.opt_state, jnp.stack(ekeys),
+                    self.obs_rms)
+                box["sync"] = out
+            self.params, self.opt_state, loss, aux, gnorm = out
             ep_rewards = np.asarray(aux[0])
             episode_rewards.extend(ep_rewards.tolist())
             total_steps += self.num_episodes * self.horizon
@@ -162,9 +181,12 @@ class GD:
                 writer.add_scalar("rewards/iter", mean_r, epoch)
                 writer.add_scalar("loss/iter", float(loss), epoch)
                 writer.add_scalar("grad_norm/iter", float(gnorm), epoch)
+                self.timer.log_to(writer, epoch)
                 writer.flush()
             if self.logdir and epoch % 50 == 0:
                 self.save(f"policy_iter{epoch}_reward{mean_r:.2f}")
+        if profile_ctx:
+            profile_ctx.__exit__(None, None, None)
         if self.logdir:
             self.save("final_policy")
         if writer:

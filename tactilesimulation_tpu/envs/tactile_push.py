@@ -41,6 +41,10 @@ class TactilePushEnv(FunctionalEnv):
     max_episode_steps = 100
     frame_skip = 5
     action_dim = 3
+    #: unroll factor of the frame_skip substep loop (1 = lax.scan rolled;
+    #: frame_skip = fully unrolled — bigger XLA graph, lower per-substep
+    #: dispatch overhead on TPU)
+    substep_unroll = 1
 
     def __init__(self, struct_, model, observation_type: str = "tactile_flatten"):
         super().__init__(struct_, model)
@@ -48,6 +52,12 @@ class TactilePushEnv(FunctionalEnv):
             "tactile_flatten", "tactile_map", "privilege", "no_tactile")
         self.observation_type = observation_type
         self._step_sim = integrators.build_step(struct_)
+        # privilege/no_tactile never read the tactile field (obs and reward
+        # are tactile-free), so skip the marker-force evaluation entirely —
+        # the markers still act on the dynamics through contact_terms inside
+        # the step; only the separate field *query* is elided.
+        self._needs_tactile = observation_type in ("tactile_flatten",
+                                                   "tactile_map")
 
     # -- observation -------------------------------------------------------
     def obs_size(self) -> Tuple[int, ...]:
@@ -101,8 +111,11 @@ class TactilePushEnv(FunctionalEnv):
 
         sim_state = integrators.initial_state(self.struct, self.model).replace(
             q=q, q_prev=q)
-        tactile = dynamics.tactile_field(
-            self.struct, self.model, q, jnp.zeros_like(q)).reshape(-1)
+        if self._needs_tactile:
+            tactile = dynamics.tactile_field(
+                self.struct, self.model, q, jnp.zeros_like(q)).reshape(-1)
+        else:
+            tactile = jnp.zeros(TACTILE_ROWS * TACTILE_COLS * 3, dtype)
         state = EnvState(
             sim=sim_state, key=knext, t=jnp.zeros((), jnp.int32),
             extras=PushExtras(goal=goal,
@@ -130,10 +143,14 @@ class TactilePushEnv(FunctionalEnv):
 
         sim_state, _ = jax.lax.scan(
             lambda s, _: (self._step_sim(self.model, s, robot_action), None),
-            state.sim, None, length=self.frame_skip)
+            state.sim, None, length=self.frame_skip,
+            unroll=self.substep_unroll)
         q = sim_state.q
-        tactile = dynamics.tactile_field(
-            self.struct, self.model, q, sim_state.qdot).reshape(-1)
+        if self._needs_tactile:
+            tactile = dynamics.tactile_field(
+                self.struct, self.model, q, sim_state.qdot).reshape(-1)
+        else:
+            tactile = ex.tactile  # zeros carried through (never read)
         var = kinematics.ee_positions(self.struct, self.model, q)
 
         obs = self._get_obs(q, tactile, ex.goal)

@@ -49,6 +49,42 @@ def load_tactile_spec(path: str):
     }
 
 
+def load_obj_vertices_faces(path: str):
+    """Minimal OBJ reader: returns (vertices (V,3) float64, faces (F,3) int or
+    None). Polygon faces are fan-triangulated; v/vt/vn index forms accepted.
+    Used by mesh collision bodies and the make_tactile generator (the
+    reference shells out to trimesh, make_tactile.py:2)."""
+    verts, faces = [], []
+    with open(path) as f:
+        for ln in f:
+            if ln.startswith("v "):
+                verts.append([float(x) for x in ln.split()[1:4]])
+            elif ln.startswith("f "):
+                idx = [int(tok.split("/")[0]) for tok in ln.split()[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    v = np.asarray(verts, dtype=np.float64)
+    return v, (np.asarray(faces, dtype=np.int64) if faces else None)
+
+
+def write_tactile_spec(path, pos, image_pos, normal, axis0, axis1):
+    """Write the abstract tactile spec format (count line + quoted
+    ``pos / image_pos / normal / axis0 / axis1`` records — the format
+    load_tactile_spec reads and the reference generator writes,
+    make_tactile.py:26-31)."""
+    n = len(pos)
+    with open(path, "w") as fp:
+        fp.write(f"{n}\n")
+        for i in range(n):
+            p, ip = pos[i], image_pos[i]
+            nm, a0, a1 = normal[i], axis0[i], axis1[i]
+            fp.write(
+                f'"{p[0]} {p[1]} {p[2]}" "{int(ip[0])} {int(ip[1])}" '
+                f'"{nm[0]} {nm[1]} {nm[2]}" "{a0[0]} {a0[1]} {a0[2]}" '
+                f'"{a1[0]} {a1[1]} {a1[2]}"\n')
+
+
 def cuboid_surface_points(extents, resolution) -> np.ndarray:
     """Lattice over the cuboid surface: ``general_contact_resolution="nx ny nz"``
     (e.g. reference pusher.xml:44 box '2 2 2' -> the 8 corners)."""
