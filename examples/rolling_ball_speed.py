@@ -65,11 +65,13 @@ def main():
     K = us.shape[0] // stride
     us_chunks = us[:K * stride:stride]
 
-    rollout = jax.jit(sim.make_rollout_strided(stride, remat=False))
+    rollout = jax.jit(sim.make_rollout_strided(stride, remat=False,
+                                               fast_tactile=True))
     state0 = sim.init_state()
     if args.batch > 1:
-        rollout_b = jax.jit(jax.vmap(sim.make_rollout_strided(stride, remat=False),
-                                     in_axes=(None, 0, None)))
+        rollout_b = jax.jit(jax.vmap(
+            sim.make_rollout_strided(stride, remat=False, fast_tactile=True),
+            in_axes=(None, 0, None)))
         state0 = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (args.batch,) + x.shape), state0)
         run = lambda: rollout_b(model, state0, us_chunks)

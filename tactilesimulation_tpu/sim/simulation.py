@@ -58,8 +58,18 @@ class Simulator:
         return state
 
     def _tactile(self, model: Model, state: SimState):
+        if self._use_fast_tactile():
+            from ..ops import tactile_query
+            return tactile_query.tactile_field(
+                self.struct, model, state.q, state.qdot).reshape(-1)
         return dynamics.tactile_field(
             self.struct, model, state.q, state.qdot).reshape(-1)
+
+    def _use_fast_tactile(self) -> bool:
+        """Pallas fused query on TPU (query path only — never under grad)."""
+        from ..ops import tactile_query
+        return (jax.default_backend() == "tpu"
+                and tactile_query.supported(self.struct))
 
     # -- rollouts ---------------------------------------------------------
     def make_rollout_dense(self, remat: bool = True, with_tactile: bool = True):
@@ -85,11 +95,16 @@ class Simulator:
 
         return rollout
 
-    def make_rollout_strided(self, stride: int, remat: bool = True):
+    def make_rollout_strided(self, stride: int, remat: bool = True,
+                             fast_tactile: bool = False):
         """(model, state0, us (K,nu)) -> outputs at chunk ends only; each
         control is held for ``stride`` sim steps — StepSimFunction semantics
-        (frame_skip + save_last_frame_var_only, redmax_torch_functions.py:132)."""
+        (frame_skip + save_last_frame_var_only, redmax_torch_functions.py:132).
+
+        ``fast_tactile`` switches the tactile query to the fused Pallas
+        kernel — forward-only rollouts (FPS benchmark); not differentiable."""
         struct, step = self.struct, self._step
+        fast = fast_tactile and self._use_fast_tactile()
 
         def chunk(carry, u):
             model, state = carry
@@ -98,8 +113,13 @@ class Simulator:
                 return step(model, state, u), None
 
             state, _ = jax.lax.scan(inner, state, None, length=stride)
-            tac = dynamics.tactile_field(
-                struct, model, state.q, state.qdot).reshape(-1)
+            if fast:
+                from ..ops import tactile_query
+                tac = tactile_query.tactile_field(
+                    struct, model, state.q, state.qdot).reshape(-1)
+            else:
+                tac = dynamics.tactile_field(
+                    struct, model, state.q, state.qdot).reshape(-1)
             out = (state.q, kinematics.ee_positions(struct, model, state.q), tac)
             return (model, state), out
 
