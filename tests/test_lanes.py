@@ -1,0 +1,133 @@
+"""Lane-major (batch-last) core vs vmap of the single-instance core.
+
+The lane-major path must be bit-compatible physics: same momentum-form
+residual, same chord solve, same IFT adjoint — only the data layout differs.
+These tests pin FK, full implicit steps (both contact families: point-vs-
+cuboid/ground on TactilePush, analytic-sphere + marker-vs-sphere on
+RollingBall), and BPTT control gradients against the reference layout in
+float64.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tactilesimulation_tpu.model import task_scenes
+from tactilesimulation_tpu.sim import integrators, kinematics, lanes
+
+B = 3
+
+
+def _batch_states(struct, model, rng, scale=0.02):
+    n = struct.ndof_q
+    q = model.q_init[None, :] + jnp.asarray(rng.normal(scale=scale,
+                                                       size=(B, n)))
+    qdot = jnp.asarray(rng.normal(scale=0.1, size=(B, n)))
+    state = integrators.initial_state(struct, model)
+    states = jax.vmap(lambda qq, vv: state.replace(q=qq, qdot=vv,
+                                                   q_prev=qq, qdot_prev=vv))(
+        q, qdot)
+    return states, q, qdot
+
+
+def test_fk_parity():
+    struct, model = task_scenes.tactile_push()
+    rng = np.random.default_rng(0)
+    _, q, _ = _batch_states(struct, model, rng)
+    jp_ref, jq_ref = jax.vmap(
+        lambda qq: kinematics.fk_joints(struct, model, qq))(q)   # (B, J, ·)
+    jp, jq = lanes.fk_joints(struct, model, q.T)                 # (·, J, B)
+    np.testing.assert_allclose(np.asarray(jp).transpose(2, 1, 0),
+                               np.asarray(jp_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(jq).transpose(2, 1, 0),
+                               np.asarray(jq_ref), atol=1e-12)
+    var_ref = jax.vmap(
+        lambda qq: kinematics.ee_positions(struct, model, qq))(q)
+    var = lanes.ee_positions(struct, model, q.T)
+    np.testing.assert_allclose(np.asarray(var).T, np.asarray(var_ref),
+                               atol=1e-12)
+
+
+@pytest.mark.parametrize("scene", ["push", "ball"])
+def test_step_parity(scene):
+    if scene == "push":
+        struct, model = task_scenes.tactile_push()
+        rng = np.random.default_rng(1)
+    else:
+        struct, model = task_scenes.rolling_ball(resolution=8)
+        rng = np.random.default_rng(2)
+    states, q, qdot = _batch_states(struct, model, rng,
+                                    scale=0.001 if scene == "ball" else 0.02)
+    nu = len(struct.motor_dof)
+    u = jnp.asarray(np.random.default_rng(3).normal(scale=0.05, size=(B, nu)))
+
+    step_ref = integrators.build_step(struct)
+    out_ref = jax.jit(jax.vmap(lambda s, uu: step_ref(model, s, uu)))(
+        states, u)
+
+    step_l = lanes.build_step(struct)
+    state_l = lanes.LaneSimState(q=q.T, qdot=qdot.T, q_prev=q.T,
+                                 qdot_prev=qdot.T,
+                                 t=jnp.zeros(B, jnp.int32))
+    out_l = jax.jit(lambda s, uu: step_l(model, s, uu))(state_l, u.T)
+
+    np.testing.assert_allclose(np.asarray(out_l.q).T, np.asarray(out_ref.q),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out_l.qdot).T,
+                               np.asarray(out_ref.qdot),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_bptt_gradient_parity():
+    """d(total final-q objective)/d(controls) through 3 implicit steps."""
+    struct, model = task_scenes.tactile_push()
+    rng = np.random.default_rng(4)
+    states, q, qdot = _batch_states(struct, model, rng)
+    nu = len(struct.motor_dof)
+    T = 3
+    us = jnp.asarray(rng.normal(scale=0.05, size=(B, T, nu)))
+
+    step_ref = integrators.build_step(struct)
+
+    def loss_ref(us_b):
+        def one(state, us1):
+            def body(s, uu):
+                s2 = step_ref(model, s, uu)
+                return s2, jnp.sum(s2.q ** 2)
+            _, outs = jax.lax.scan(body, state, us1)
+            return jnp.sum(outs)
+        return jnp.sum(jax.vmap(one)(states, us_b))
+
+    step_l = lanes.build_step(struct)
+    state_l = lanes.LaneSimState(q=q.T, qdot=qdot.T, q_prev=q.T,
+                                 qdot_prev=qdot.T,
+                                 t=jnp.zeros(B, jnp.int32))
+
+    def loss_l(us_b):
+        def body(s, uu):
+            s2 = step_l(model, s, uu)
+            return s2, jnp.sum(s2.q ** 2)
+        _, outs = jax.lax.scan(body, state_l,
+                               jnp.moveaxis(us_b, 1, 0).transpose(0, 2, 1))
+        return jnp.sum(outs)
+
+    g_ref = jax.jit(jax.grad(loss_ref))(us)
+    g_l = jax.jit(jax.grad(loss_l))(us)
+    np.testing.assert_allclose(np.asarray(g_l), np.asarray(g_ref),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_tactile_field_parity():
+    from tactilesimulation_tpu.sim import dynamics
+    struct, model = task_scenes.rolling_ball(resolution=8)
+    rng = np.random.default_rng(5)
+    n = struct.ndof_q
+    q = model.q_init + jnp.asarray(rng.normal(scale=0.0005, size=n))
+    q = q.at[2].add(-0.0012)  # push the ball into the pad
+    v = jnp.asarray(rng.normal(scale=0.05, size=n))
+    ref = dynamics.tactile_field(struct, model, q, v)          # (M, 3)
+    out = lanes.tactile_field(struct, model, q[:, None], v[:, None])
+    np.testing.assert_allclose(np.asarray(out[..., 0]), np.asarray(ref),
+                               rtol=1e-8, atol=1e-12)
+    assert float(jnp.sum(jnp.abs(ref))) > 0
