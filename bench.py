@@ -43,13 +43,22 @@ def main():
                     help="override the scene's Newton/chord iteration count")
     ap.add_argument("--unroll", type=int, default=1,
                     help="substep-loop unroll factor (1..frame_skip)")
+    ap.add_argument("--vmap", action="store_true",
+                    help="legacy path: vmap of the per-episode env instead of "
+                         "the lane-major (batch-last) core. Kept for A/B "
+                         "comparison — measured 36x slower at B=1024 on TPU "
+                         "v5e (the (B, 3)-minor-axis layout uses 3-7 of 128 "
+                         "VPU lanes; see sim/lanes.py)")
+    ap.add_argument("--obs", default="no_tactile",
+                    help="TactilePush observation type (tactile_flatten "
+                         "exercises the dense marker-field query each step)")
     args = ap.parse_args()
 
     import dataclasses
 
     from tactilesimulation_tpu.envs import tactile_push
 
-    env = tactile_push.make("no_tactile")
+    env = tactile_push.make(args.obs)
     env.substep_unroll = args.unroll
     if args.max_iter:
         env.struct = dataclasses.replace(env.struct,
@@ -58,23 +67,44 @@ def main():
         env._step_sim = integrators.build_step(env.struct)
     B, H = args.batch, args.horizon
 
-    def rollout_reward(us, key):
-        """Total reward of one episode driven by an explicit control
-        sequence us (H, ndof_u) — the GD/BPTT workload shape."""
-        state, obs = env.reset(key)
+    if args.vmap:
+        def rollout_reward(us, key):
+            """Total reward of one episode driven by an explicit control
+            sequence us (H, ndof_u) — the GD/BPTT workload shape."""
+            state, obs = env.reset(key)
 
-        def body(carry, u):
-            st, _ = carry
-            st, obs, r, d, info = env.step(st, u)
-            return (st, obs), r
+            def body(carry, u):
+                st, _ = carry
+                st, obs, r, d, info = env.step(st, u)
+                return (st, obs), r
 
-        if args.remat:
-            body = jax.checkpoint(body)
-        (_, _), rewards = jax.lax.scan(body, (state, obs), us)
-        return jnp.sum(rewards)
+            if args.remat:
+                body = jax.checkpoint(body)
+            (_, _), rewards = jax.lax.scan(body, (state, obs), us)
+            return jnp.sum(rewards)
 
-    def batch_loss(us_batch, keys):
-        return jnp.mean(jax.vmap(rollout_reward)(us_batch, keys))
+        def batch_loss(us_batch, keys):
+            return jnp.mean(jax.vmap(rollout_reward)(us_batch, keys))
+    else:
+        lenv = env.lane_env()
+        if args.max_iter:
+            from tactilesimulation_tpu.sim import lanes
+            lenv.struct = env.struct
+            lenv._step_sim = lanes.build_step(env.struct)
+
+        def batch_loss(us_batch, keys):
+            """us_batch (H, B, ndof_u): whole batch stepped lane-major."""
+            state, obs = lenv.reset(keys)
+
+            def body(carry, u):
+                st, _ = carry
+                st, obs, r, d, info = lenv.step(st, u)
+                return (st, obs), r
+
+            if args.remat:
+                body = jax.checkpoint(body)
+            (_, _), rewards = jax.lax.scan(body, (state, obs), us_batch)
+            return jnp.mean(jnp.sum(rewards, axis=0))
 
     if args.forward_only:
         fn = jax.jit(batch_loss)
@@ -82,7 +112,8 @@ def main():
         fn = jax.jit(jax.grad(batch_loss))
 
     keys = jax.random.split(jax.random.PRNGKey(0), B)
-    us = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (B, H, env.ndof_u))
+    us_shape = (B, H, env.ndof_u) if args.vmap else (H, B, env.ndof_u)
+    us = 0.1 * jax.random.normal(jax.random.PRNGKey(1), us_shape)
 
     out = fn(us, keys)  # compile
     jax.tree.map(lambda x: x.block_until_ready(), out)

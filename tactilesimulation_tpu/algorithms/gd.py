@@ -63,6 +63,25 @@ class GD:
         self.profile_epochs = tuple(config.get("profile_epochs", ()))
         self.timer = profiling.PhaseTimer()
 
+        # Route batched BPTT rollouts through the lane-major (batch-last)
+        # core when the env provides one — same physics, ~full VPU lane
+        # utilization (sim/lanes.py). Falls back to vmap of the per-episode
+        # env otherwise. Opt out with cfg config.lane_rollouts: false.
+        lane = (env.lane_env() if config.get("lane_rollouts", True)
+                and hasattr(env, "lane_env") else None)
+        self.rollout_env = lane if lane is not None else env
+
+        # Data-parallel episode sharding over every visible device (all
+        # chips of all hosts when parallel.distributed.initialize() formed a
+        # cluster) — the replacement for the reference's SubprocVecEnv pool.
+        # Auto-enabled when the episode batch divides the device count.
+        ndev = len(jax.devices())
+        self.mesh = None
+        if (config.get("data_parallel", True) and ndev > 1
+                and self.num_episodes % ndev == 0):
+            from ..parallel import distributed
+            self.mesh = distributed.global_mesh()
+
         actor_name = network.get("actor", "DiagGaussianActor")
         assert actor_name == "DiagGaussianActor", (
             "GD drives flat-obs actors; use observation_type with vector obs")
@@ -86,11 +105,16 @@ class GD:
         self.optimizer = optax.chain(*chain)
         self.opt_state = self.optimizer.init(self.params)
 
+        # resumable training state (full-state checkpointing, §5.4)
+        self._epoch = 0
+        self._best = -np.inf
+        self._train_key = jax.random.PRNGKey(self.seed)
+
         self._build()
 
     # ------------------------------------------------------------------
     def _build(self):
-        env, actor = self.env, self.actor
+        env, actor = self.rollout_env, self.actor
 
         def policy_apply_factory(obs_rms):
             def apply(params, obs):
@@ -101,12 +125,16 @@ class GD:
             return apply
 
         def epoch_loss(params, keys, obs_rms):
-            run = env.rollout_fn(policy_apply_factory(obs_rms), self.horizon)
-            rewards, dones, infos = jax.vmap(run, in_axes=(None, 0))(
-                params, keys)
+            run = env.batched_rollout_fn(
+                policy_apply_factory(obs_rms), self.horizon,
+                with_obs=self.use_obs_rms)
+            outs = run(params, keys)
+            rewards, infos = outs[0], outs[2]
             episode_reward = jnp.sum(rewards, axis=-1)   # (E,)
             loss = -jnp.mean(episode_reward)
-            return loss, (episode_reward, infos)
+            obs_seen = (jax.lax.stop_gradient(outs[3])
+                        if self.use_obs_rms else None)
+            return loss, (episode_reward, infos, obs_seen)
 
         def update(params, opt_state, keys, obs_rms):
             (loss, aux), grads = jax.value_and_grad(
@@ -114,35 +142,53 @@ class GD:
             gnorm = optax.global_norm(grads)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss, aux, gnorm
+            if self.use_obs_rms:
+                # post-epoch stats update with the obs the policy saw this
+                # epoch (normalized with the PRE-epoch stats) — the exact
+                # reference semantics (gd.py:226-246).
+                obs_seen = aux[2]
+                obs_rms = obs_rms.update(
+                    obs_seen.reshape(-1, obs_seen.shape[-1]))
+            return params, opt_state, loss, aux[:2], gnorm, obs_rms
 
-        self._update = jax.jit(update)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+            shard = NamedSharding(self.mesh, P("batch"))
+            self._update = jax.jit(
+                update, in_shardings=(rep, rep, shard, rep))
+        else:
+            self._update = jax.jit(update)
         self._policy_factory = policy_apply_factory
 
         def play_episode(params, key, obs_rms):
-            run = env.rollout_fn(policy_apply_factory(obs_rms), self.horizon,
-                                 remat=False)
+            run = self.env.rollout_fn(policy_apply_factory(obs_rms),
+                                      self.horizon, remat=False)
             rewards, dones, infos = run(params, key)
             return jnp.sum(rewards), infos
 
         self._play = jax.jit(play_episode)
 
     # ------------------------------------------------------------------
-    def train(self):
+    def train(self, stop_epoch: Optional[int] = None):
+        """Run epochs [resumed-epoch, num_epochs); ``stop_epoch`` truncates
+        early (checkpoint/resume tests simulate a crash with it)."""
+        end_epoch = (self.num_epochs if stop_epoch is None
+                     else min(stop_epoch, self.num_epochs))
         writer = log.SummaryWriter(os.path.join(self.logdir, "log")) \
             if self.logdir else None
         textlog = log.TextLog(os.path.join(self.logdir, "logs.txt")) \
             if self.logdir else None
         episode_rewards = deque(maxlen=200)
-        key = jax.random.PRNGKey(self.seed)
-        best = -np.inf
+        key = self._train_key
+        best = self._best
         t_start = time.time()
-        total_steps = 0
+        total_steps = self._epoch * self.num_episodes * self.horizon
 
-        if self.logdir:
+        if self.logdir and self._epoch == 0:
             self.save("init_policy")
         profile_ctx = None
-        for epoch in range(self.num_epochs):
+        for epoch in range(self._epoch, end_epoch):
             if self.profile_epochs and self.logdir:
                 if epoch == self.profile_epochs[0]:
                     profile_ctx = profiling.trace(
@@ -152,12 +198,16 @@ class GD:
                     profile_ctx.__exit__(None, None, None)
                     profile_ctx = None
             key, *ekeys = jax.random.split(key, self.num_episodes + 1)
+            ekeys = jnp.stack(ekeys)
+            if self.mesh is not None:
+                from ..parallel import distributed
+                ekeys = distributed.global_from_full(self.mesh, ekeys)
             with self.timer.phase("update") as box:
                 out = self._update(
-                    self.params, self.opt_state, jnp.stack(ekeys),
+                    self.params, self.opt_state, ekeys,
                     self.obs_rms)
                 box["sync"] = out
-            self.params, self.opt_state, loss, aux, gnorm = out
+            self.params, self.opt_state, loss, aux, gnorm, self.obs_rms = out
             ep_rewards = np.asarray(aux[0])
             episode_rewards.extend(ep_rewards.tolist())
             total_steps += self.num_episodes * self.horizon
@@ -183,6 +233,13 @@ class GD:
                 writer.add_scalar("grad_norm/iter", float(gnorm), epoch)
                 self.timer.log_to(writer, epoch)
                 writer.flush()
+            # full-state checkpoint every epoch: params + optimizer state +
+            # normalizer + epoch + PRNG key + best metric, so a killed run
+            # resumes exactly (the reference loses Adam state and the epoch
+            # counter on restart — SURVEY.md §5.4 gap, fixed here)
+            self._train_key, self._best, self._epoch = key, best, epoch + 1
+            if self.logdir:
+                self.save_checkpoint()
             if self.logdir and epoch % 50 == 0:
                 self.save(f"policy_iter{epoch}_reward{mean_r:.2f}")
         if profile_ctx:
@@ -218,6 +275,35 @@ class GD:
         self.params = jax.tree.map(jnp.asarray, blob["params"])
         if blob.get("obs_rms") is not None:
             self.obs_rms = jax.tree.map(jnp.asarray, blob["obs_rms"])
+
+    # -- full-state checkpoint / resume (upgrade over the reference, which
+    # loses optimizer state and the epoch counter on restart — §5.4) --------
+    def save_checkpoint(self, name: str = "checkpoint"):
+        from ..utils import checkpoint
+        checkpoint.save_state(
+            os.path.join(self.logdir, name),
+            {"params": self.params, "opt_state": self.opt_state,
+             "obs_rms": self.obs_rms, "epoch": self._epoch,
+             "best": self._best, "key": self._train_key})
+
+    def resume(self, path):
+        """Restore params/opt_state/obs_rms/epoch/PRNG key; a subsequent
+        train() continues exactly where the checkpointed run stopped."""
+        from ..utils import checkpoint
+        # target pytree gives the restorer the container types (optax
+        # NamedTuples, RunningMeanStd dataclass) to rebuild into
+        target = {"params": self.params, "opt_state": self.opt_state,
+                  "obs_rms": self.obs_rms, "epoch": 0, "best": 0.0,
+                  "key": self._train_key}
+        blob = checkpoint.restore_state(path, target)
+        as_jnp = lambda t: jax.tree.map(jnp.asarray, t)
+        self.params = as_jnp(blob["params"])
+        self.opt_state = as_jnp(blob["opt_state"])
+        if blob.get("obs_rms") is not None:
+            self.obs_rms = as_jnp(blob["obs_rms"])
+        self._epoch = int(blob["epoch"])
+        self._best = float(blob["best"])
+        self._train_key = jnp.asarray(blob["key"])
 
     # ------------------------------------------------------------------
     def test_gradient(self, num_params=20, key=None, eps_list=(1e-2, 1e-3, 1e-4)):

@@ -299,6 +299,129 @@ class PPORNN:
             writer.close()
         return float(np.mean(successes)) if successes else 0.0
 
+    # ------------------------------------------------------------------
+    # Evaluation harness: per-misalignment-class success/improve matrices
+    # (the paper's sim-to-real evaluation artifact, reference
+    # algorithms/ppo_rnn.py:294-433).
+    def play_once(self, key, stochastic=False):
+        """One episode with the current policy; returns (total_reward,
+        success, improve_cnt, episode_len, extra_info) where extra_info
+        carries the 3x3 class count/success/improve matrices and the
+        per-step misalignment points/angles."""
+        env, ac = self.env, self.ac
+        if not hasattr(self, "_play_step"):
+            def policy_step(params, norm, obs, hxs, k, det):
+                nobs = obs
+                if self.norm_obs:
+                    nobs = jnp.clip(norm.obs_rms.normalize(obs),
+                                    -self.clip_obs, self.clip_obs)
+                _, action, _, hxs = ac.apply(
+                    params, nobs, hxs, jnp.ones((), obs.dtype), k,
+                    deterministic=det, method=ac.act)
+                return action, hxs
+            self._play_step = jax.jit(policy_step, static_argnums=(5,))
+            self._env_step = jax.jit(env.step)
+            self._env_reset = jax.jit(env.reset)
+
+        key, kr = jax.random.split(key)
+        state, obs = self._env_reset(kr)
+        dt = obs.dtype if hasattr(obs, "dtype") else jnp.float32
+        hxs = jnp.zeros(self.hidden_size, dt)
+        class_cnt = np.zeros((3, 3), int)
+        class_improve = np.zeros((3, 3), int)
+        class_success = np.zeros((3, 3), int)
+        points, angles = [], []
+        total_reward, improve_cnt, episode_len = 0.0, 0, 0
+        success = False
+        for _ in range(env.max_episode_steps):
+            key, ka = jax.random.split(key)
+            action, hxs = self._play_step(self.params, self.norm, obs, hxs,
+                                          ka, not stochastic)
+            state, obs, reward, done, info = self._env_step(state, action)
+            total_reward += float(reward)
+            episode_len += 1
+            pose = np.asarray(info["prev_object_pose"])
+            c1 = 0 if pose[0] < -0.00225 else (1 if pose[0] < 0.00225 else 2)
+            c2 = 0 if pose[1] < -0.00225 else (1 if pose[1] < 0.00225 else 2)
+            class_cnt[c1][c2] += 1
+            points.append(pose[0:2])
+            angles.append(np.rad2deg(pose[2]))
+            if bool(info["success"]):
+                success = True
+                class_success[c1][c2] += 1
+            if bool(info["improve"]):
+                improve_cnt += 1
+                class_improve[c1][c2] += 1
+            if bool(done):
+                break
+        extra = {"class_cnt": class_cnt, "class_improve_cnt": class_improve,
+                 "class_success_cnt": class_success, "points": points,
+                 "angles": angles}
+        return total_reward, success, improve_cnt, episode_len, extra
+
+    def play(self, num_games=10, stochastic=False, seed=None,
+             plot_path=None):
+        """Aggregate play_once over episodes; print the per-class matrices
+        and (optionally) save the misalignment scatter + angle histogram
+        figure (reference ppo_rnn.py:363-433; headless savefig instead of
+        plt.show)."""
+        key = jax.random.PRNGKey(self.seed + 1 if seed is None else seed)
+        agg = {"class_cnt": np.zeros((3, 3), int),
+               "class_improve_cnt": np.zeros((3, 3), int),
+               "class_success_cnt": np.zeros((3, 3), int)}
+        points, angles = [], []
+        success_cnt, improve_cnt, episode_len_sum, total_reward = 0, 0, 0, 0.0
+        for _ in range(num_games):
+            key, k = jax.random.split(key)
+            reward, success, imp, ep_len, extra = self.play_once(
+                k, stochastic)
+            total_reward += reward
+            improve_cnt += imp
+            if success:
+                success_cnt += 1
+                episode_len_sum += ep_len
+            for name in agg:
+                agg[name] += extra[name]
+            points += extra["points"]
+            angles += extra["angles"]
+
+        n_steps = max(int(agg["class_cnt"].sum()), 1)
+        log.print_info(
+            f"[Summary] Avg reward = {total_reward / num_games:.3f}, "
+            f"Success rate = {success_cnt / num_games * 100.:.2f}%, "
+            f"Avg success episode length = "
+            f"{episode_len_sum / max(success_cnt, 1):.2f}, "
+            f"Improve rate = {improve_cnt / n_steps * 100.:.2f}%")
+        for c1 in range(3):
+            for c2 in range(3):
+                cnt = agg["class_cnt"][c1][c2]
+                sr = agg["class_success_cnt"][c1][c2] / max(cnt, 1) * 100.
+                ir = agg["class_improve_cnt"][c1][c2] / max(cnt, 1) * 100.
+                log.print_info(
+                    f"Class [{c1}, {c2}], total cnt = {cnt}, success rate = "
+                    f"{sr:.3f}%, improve rate = {ir:.3f}%")
+        if plot_path:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            pts = np.asarray(points) * 1000.0
+            fig, ax = plt.subplots(1, 2, figsize=(10, 4))
+            for v in (-10.0, -2.25, 2.25, 10.0):
+                ax[0].plot([v, v], [-10., 10.], c="black")
+                ax[0].plot([-10., 10.], [v, v], c="black")
+            if len(pts):
+                ax[0].scatter(pts[:, 0], pts[:, 1])
+            ax[0].set_title("misalignment distribution")
+            ax[1].hist(angles, bins=20, edgecolor="black",
+                       facecolor="blue", alpha=0.7)
+            ax[1].set_title("angle distribution")
+            os.makedirs(os.path.dirname(plot_path) or ".", exist_ok=True)
+            fig.savefig(plot_path)
+            plt.close(fig)
+        return {"success_rate": success_cnt / num_games,
+                "improve_rate": improve_cnt / n_steps,
+                "avg_reward": total_reward / num_games, **agg}
+
     def save(self, filename=None):
         os.makedirs(os.path.join(self.logdir, "models"), exist_ok=True)
         path = os.path.join(self.logdir, "models",

@@ -82,3 +82,43 @@ class FunctionalEnv:
             return rewards, dones, infos
 
         return run
+
+    # ---- batched (lane-major-capable) rollout path -------------------------
+    def lane_env(self) -> Optional["FunctionalEnv"]:
+        """Return a lane-major (batch-last) twin of this env, or None.
+
+        Envs with a `sim.lanes`-backed implementation override this; trainers
+        call it to route batched BPTT rollouts through the layout that keeps
+        the TPU VPU lanes full (see sim/lanes.py for the why)."""
+        return None
+
+    def batched_rollout_fn(self, policy_apply: Callable, horizon: int,
+                           remat: bool = False, with_obs: bool = False):
+        """Build run(params, keys (E, ...)) -> (rewards (E, H), dones, infos
+        [, obs (E, H, obs_dim)]) — a whole epoch of episodes as one program.
+
+        Default: vmap of the per-episode rollout. Lane-major envs override
+        with a batch-in-the-last-axis core (same contract, batch-first at
+        this boundary). ``with_obs`` additionally stacks the per-step
+        observations (the GD trainer's obs_rms update needs them,
+        reference algorithms/gd.py:226-246)."""
+
+        def body(carry, _):
+            state, obs, params = carry
+            action = policy_apply(params, obs)
+            state, obs2, reward, done, info = self.step(state, action)
+            out = (reward, done, info) + ((obs,) if with_obs else ())
+            return (state, obs2, params), out
+
+        fbody = jax.checkpoint(body) if remat else body
+
+        def run_one(params, key):
+            state, obs = self.reset(key)
+            _, outs = jax.lax.scan(fbody, (state, obs, params), None,
+                                   length=horizon)
+            return outs
+
+        def run(params, keys):
+            return jax.vmap(run_one, in_axes=(None, 0))(params, keys)
+
+        return run

@@ -323,9 +323,13 @@ class TactileInsertionEnv(FunctionalEnv):
         final_q, obs = self._execute(model, q_cmd, ex.grasp_force, kobs)
         success, reward, pose, improve = self._outcome(
             final_q, q_cmd, ex.prev_object_pose)
+        prev_pose = ex.prev_object_pose  # pose the policy had to correct
         ex = ex.replace(current_q_init=q_cmd, prev_object_pose=pose, obs=obs,
                         is_success=success)
-        info = {"success": success, "improve": improve}
+        info = {"success": success, "improve": improve,
+                # misalignment-class evaluation input (reference
+                # ppo_rnn.py:316-333 bins this into the 3x3 matrices)
+                "prev_object_pose": prev_pose}
         return (state.replace(extras=ex, key=knext, t=state.t + 1), obs,
                 reward, success, info)
 

@@ -177,6 +177,11 @@ class TactilePushEnv(FunctionalEnv):
                               tactile=tactile))
         return new_state, obs, reward, jnp.zeros((), bool), info
 
+    def lane_env(self):
+        """Lane-major twin (sim.lanes core) — the TPU batched hot path."""
+        from .tactile_push_lanes import TactilePushLanes
+        return TactilePushLanes(self)
+
     def tactile_forces_array(self, tactile_flat):
         """(1, 1, rows, cols, 3) with the reference normalizers (:283-287)."""
         arr = tactile_flat.reshape(1, 1, TACTILE_ROWS, TACTILE_COLS, 3)

@@ -155,23 +155,29 @@ class TactilePushLanes:
         done = jnp.zeros((B,), bool)
         return new_state, obs, reward, done, info
 
-    def rollout_fn(self, policy_apply, horizon: int, remat: bool = False):
-        """(params, keys (B,2)) -> (rewards (H,B), dones, infos): batched BPTT
-        rollout (the GD trainer workload) on the lane core."""
+    def batched_rollout_fn(self, policy_apply, horizon: int,
+                           remat: bool = False, with_obs: bool = False):
+        """(params, keys (E, 2)) -> (rewards (E, H), dones, infos
+        [, obs (E, H, obs_dim)]): a whole epoch of episodes as ONE lane-major
+        batched BPTT rollout — the GD trainer / bench.py workload. Same
+        contract as FunctionalEnv.batched_rollout_fn (batch-first at the
+        boundary; lane-major inside)."""
 
         def body(carry, _):
             state, obs, params = carry
             action = policy_apply(params, obs)
-            state, obs, reward, done, info = self.step(state, action)
-            return (state, obs, params), (reward, done, info)
+            state, obs2, reward, done, info = self.step(state, action)
+            out = (reward, done, info) + ((obs,) if with_obs else ())
+            return (state, obs2, params), out
 
         fbody = jax.checkpoint(body) if remat else body
 
         def run(params, keys):
             state, obs = self.reset(keys)
-            (_, _, _), (rewards, dones, infos) = jax.lax.scan(
-                fbody, (state, obs, params), None, length=horizon)
-            return rewards, dones, infos
+            _, outs = jax.lax.scan(fbody, (state, obs, params), None,
+                                   length=horizon)
+            # scan stacks time first: (H, B, ...) -> batch-first (B, H, ...)
+            return jax.tree.map(lambda x: jnp.moveaxis(x, 0, 1), outs)
 
         return run
 

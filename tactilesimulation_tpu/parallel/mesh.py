@@ -11,6 +11,7 @@ the gradient all-reduce.
 
 from __future__ import annotations
 
+import inspect
 from typing import Callable, Optional
 
 import jax
@@ -36,16 +37,18 @@ def replicate(mesh: Mesh, tree):
 
 
 def episode_sharded_update(mesh: Mesh, update_fn: Callable,
-                           axis: str = "batch"):
-    """jit ``update_fn(params, opt_state, keys, ...)`` with ``keys`` (and any
-    further per-episode args) sharded over the mesh; params/opt_state
-    replicated. Gradient reduction across chips rides ICI via XLA's psum."""
+                           axis: str = "batch", num_replicated: int = 2):
+    """jit ``update_fn(*replicated_args, *per_episode_args)`` with the first
+    ``num_replicated`` arguments (params, opt_state, ...) replicated and the
+    rest (keys / controls / any leading-episode-axis pytree) sharded over the
+    mesh batch axis. Gradient reduction across chips rides ICI via XLA's
+    inserted all-reduce."""
     rep = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(axis))
-
-    def spec(i):
-        return shard if i >= 2 else rep
-
-    return jax.jit(update_fn,
-                   in_shardings=(rep, rep, shard),
-                   out_shardings=None)
+    try:
+        nargs = len(inspect.signature(update_fn).parameters)
+    except (TypeError, ValueError):
+        nargs = num_replicated + 1
+    in_shardings = tuple(rep if i < num_replicated else shard
+                         for i in range(nargs))
+    return jax.jit(update_fn, in_shardings=in_shardings, out_shardings=None)

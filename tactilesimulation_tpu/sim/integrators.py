@@ -8,8 +8,8 @@ shallow):
     r(v') = p(q', v') - p_base - gamma * [dT/dq(q', v') + Q(q', v', u)]
     q'    = q_base + gamma * v'
 
-with a damped chord/Newton iteration (jacfwd Jacobian LU-factored at the warm
-start, parallel backtracking line search, fixed masked iteration count —
+with a chord iteration (Jacobian linearized and LU-factored once at the warm
+start, best-iterate tracking as the safeguard, fixed masked iteration count —
 static shapes for XLA). Coefficients:
 
     BDF1: gamma = h,    q_base = q,            p_base = p(q, v)
@@ -43,6 +43,26 @@ class StepInputs(NamedTuple):
     gamma: jnp.ndarray
 
 
+def ridge_eps(dtype) -> float:
+    """Tikhonov ridge scale for the chord/IFT dense solves.
+
+    The ridge added to the iteration matrix is ``ridge_eps * (mean|diag| + 1)``
+    — scale-aware so near-massless dofs stay solvable in f32. This exact
+    formula is shared with the lane-major solver (``lanes._ridge``): the chord
+    iterates depend on the chord matrix, so ANY difference in the ridge between
+    the two layouts breaks lane-parity at partially-converged solves
+    (tests/test_lanes.py pins parity to round-off)."""
+    return 1e-7 if dtype == jnp.float32 else 1e-12
+
+
+def _ridged(J):
+    """J (n, n) + scale-aware ridge. Lane-major twin: ``lanes._ridge``."""
+    n = J.shape[0]
+    diag_mag = jnp.mean(jnp.abs(jnp.diagonal(J)))
+    return J + (ridge_eps(J.dtype) * (diag_mag + 1.0)) * jnp.eye(
+        n, dtype=J.dtype)
+
+
 def make_residual(struct: Structure):
     def residual(v_new, inputs: StepInputs):
         qn = inputs.q_base + inputs.gamma * v_new
@@ -74,8 +94,8 @@ def _newton(residual_fn, max_iter, tol, inputs, v_guess):
 
     r0, lin = jax.linearize(lambda vv: residual_fn(vv, inputs), v_guess)
     J = jax.vmap(lin)(eye)  # row i = J @ e_i = column i => J^T; see solve below
-    # tiny Tikhonov guard keeps near-massless dofs solvable in f32
-    lu = jax.scipy.linalg.lu_factor(J.T + 1e-12 * eye)
+    # scale-aware Tikhonov guard keeps near-massless dofs solvable in f32
+    lu = jax.scipy.linalg.lu_factor(_ridged(J.T))
 
     rn0 = jnp.linalg.norm(r0)
     # residual-scale-aware tolerance: masses span 1e-5..1 kg across the
@@ -117,7 +137,7 @@ def _newton_bwd(residual_fn, max_iter, tol, res, g):
     n = v_star.shape[0]
     eye = jnp.eye(n, dtype=v_star.dtype)
     J = jax.vmap(lambda c: pullback(c)[0])(eye)  # row i = J^T e_i = J[i, :]
-    lam = jnp.linalg.solve(J.T + 1e-12 * eye, g)
+    lam = jnp.linalg.solve(_ridged(J.T), g)
     inputs_bar = pullback(-lam)[1]
     return inputs_bar, jnp.zeros_like(v_star)
 

@@ -519,10 +519,14 @@ def el_terms_pair(struct, model, q, v):
     return el_terms(struct, model, q, v)
 
 
-def _ridge(J, eps_scale):
+def _ridge(J):
+    """J (n, n, B) + scale-aware ridge — EXACT lane-major twin of
+    ``integrators._ridged``; any formula divergence between the two layouts
+    breaks chord-iterate parity (tests/test_lanes.py)."""
+    from .integrators import ridge_eps
     n = J.shape[0]
     diag_mag = sum(jnp.abs(J[i, i]) for i in range(n)) / n   # (B,)
-    ridge = eps_scale * (diag_mag + 1.0)
+    ridge = ridge_eps(J.dtype) * (diag_mag + 1.0)
     return J + ridge[None, None] * jnp.eye(n, dtype=J.dtype)[:, :, None]
 
 
@@ -534,11 +538,14 @@ def _newton(residual_fn, max_iter, tol, inputs, v_guess):
     rel = 1e-4 if f32 else 1e-7
 
     r0, lin = jax.linearize(lambda vv: residual_fn(vv, inputs), v_guess)
-    basis = jnp.eye(n, dtype=dtype)
-    cols = [lin(jnp.broadcast_to(basis[:, i:i + 1], v_guess.shape))
-            for i in range(n)]
-    J = jnp.stack(cols, axis=1)            # J[i, k] = dr_i/dv_k
-    lu = gauss_factor(_ridge(J, 1e-10 if not f32 else 1e-7))
+    # ONE vmapped application of the linearized residual over all n basis
+    # tangents (vs n inlined copies of the JVP graph — ~n x smaller XLA
+    # program, same values)
+    tangents = jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None],
+                                (n,) + v_guess.shape)
+    Jcols = jax.vmap(lin)(tangents)        # Jcols[k, i] = dr_i/dv_k
+    J = jnp.swapaxes(Jcols, 0, 1)          # J[i, k] = dr_i/dv_k
+    lu = gauss_factor(_ridge(J))
 
     rn0 = jnp.sqrt(jnp.sum(r0 * r0, axis=0))            # (B,)
     tol_eff = jnp.maximum(jnp.asarray(tol, dtype), rel * rn0)
@@ -576,13 +583,12 @@ def _newton_bwd(residual_fn, max_iter, tol, res, g):
     _, pullback = jax.vjp(residual_fn, v_star, inputs)
     n = v_star.shape[0]
     dtype = v_star.dtype
-    basis = jnp.eye(n, dtype=dtype)
-    rows = [pullback(jnp.broadcast_to(basis[:, i:i + 1], v_star.shape))[0]
-            for i in range(n)]
-    J = jnp.stack(rows, axis=0)            # J[i, k] = dr_i/dv_k
-    JT = jnp.stack([J[:, k] for k in range(n)], axis=0)  # (k, i, B)
-    f32 = dtype == jnp.float32
-    lu = gauss_factor(_ridge(JT, 1e-10 if not f32 else 1e-7))
+    # ONE vmapped pullback over all n cotangent basis vectors (see _newton)
+    cots = jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None],
+                            (n,) + v_star.shape)
+    J = jax.vmap(lambda c: pullback(c)[0])(cots)   # J[i, k] = dr_i/dv_k
+    JT = jnp.swapaxes(J, 0, 1)                     # (k, i, B)
+    lu = gauss_factor(_ridge(JT))
     lam = gauss_solve(lu, g)
     inputs_bar = pullback(-lam)[1]
     return inputs_bar, jnp.zeros_like(v_star)

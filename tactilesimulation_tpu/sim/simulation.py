@@ -480,7 +480,32 @@ class Simulation:
 
     # -- replay (C11) -------------------------------------------------------
     def replay(self):
-        pass  # interactive viewing is offline; see utils/renderer.py
+        """Replay the recorded trajectory (reference C11 `sim.replay()`).
+
+        Headless equivalent of the reference OpenGL viewer (reference
+        utils/renderer.py:7-30 toggles viewer_options.record/record_folder
+        then replays): when ``viewer_options.record`` is set, numbered PNG
+        frames are written into ``viewer_options.record_folder`` (or a GIF if
+        the folder path ends with .gif); otherwise a single final-frame
+        preview ``replay.png`` is written next to the cwd so `replay()` is
+        never a silent no-op."""
+        from ..utils import renderer
+        qs = self.export_trajectory()
+        if not len(qs):
+            return 0
+        if self.viewer_options.record:
+            path = self.viewer_options.record_folder or "replay_frames"
+            return renderer.render_trajectory(
+                self.struct, self.model, qs, path,
+                fps=self.viewer_options.fps)
+        import numpy as _np
+        import matplotlib.pyplot as plt
+        fig = renderer.render_frame(self.struct, self.model, qs[-1])
+        fig.canvas.draw()
+        self.last_render = _np.asarray(
+            fig.canvas.buffer_rgba())[..., :3].copy()
+        plt.close(fig)
+        return 1
 
     def export_trajectory(self):
         return np.stack(self._trajectory) if self._trajectory else np.zeros((0, self.ndof_r))

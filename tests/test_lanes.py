@@ -124,7 +124,10 @@ def test_tactile_field_parity():
     rng = np.random.default_rng(5)
     n = struct.ndof_q
     q = model.q_init + jnp.asarray(rng.normal(scale=0.0005, size=n))
-    q = q.at[2].add(-0.0012)  # push the ball into the pad
+    # drive the pad down onto the ball: pad markers sit at z = 0.055 at rest
+    # (pad joint z = 0.06, marker plane local z = -0.005) and the ball top is
+    # at z = 0.04, so a -16.5 mm pad translation penetrates ~1.5 mm
+    q = q.at[2].add(-0.0165)
     v = jnp.asarray(rng.normal(scale=0.05, size=n))
     ref = dynamics.tactile_field(struct, model, q, v)          # (M, 3)
     out = lanes.tactile_field(struct, model, q[:, None], v[:, None])
