@@ -77,11 +77,14 @@ def main():
     def policy_apply(p, obs):
         return actor.apply(p, obs, deterministic=True, method=actor.act)
 
-    run = env.rollout_fn(policy_apply, args.horizon)
+    # the trainers' actual batched path: lane-major core when the env has one
+    # (tactile_push), vmap of the per-episode env otherwise (pendulum)
+    renv = env.lane_env() or env
+    run = renv.batched_rollout_fn(policy_apply, args.horizon)
 
     def update(params, opt_state, keys):
         def loss_fn(p):
-            rewards, _, _ = jax.vmap(run, in_axes=(None, 0))(p, keys)
+            rewards, _, _ = run(p, keys)
             return -jnp.mean(jnp.sum(rewards, axis=-1))
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)

@@ -209,19 +209,25 @@ def ee_positions(struct: Structure, model: Model, q):
 # ---------------------------------------------------------------------------
 
 def lagrangian(struct: Structure, model: Model, q, v):
-    """(B,) Lagrangian per lane."""
+    """(B,) Lagrangian per lane.
+
+    ``model.body_mass`` / ``body_inertia`` may carry a trailing per-lane
+    batch axis ((NB, B) / (NB, 3, B)) — per-episode heterogeneous physics
+    (StableGrasp density randomization, SURVEY.md C9) at full lane speed."""
     fk = lambda qq: fk_bodies(struct, model, qq)
     (p, quat), (pd, quatd) = jax.jvp(fk, (q,), (v,))
     w = 2.0 * quat_mul(quatd, quat_conj(quat))[1:]
     R = quat_to_mat(quat)                               # (3, 3, NB, B)
     w_local = jnp.einsum("jinb,jnb->inb", R, w)
     dtype = q.dtype
-    mass = jnp.asarray(model.body_mass, dtype)[None, :, None]
-    inertia = _col(model.body_inertia, dtype)
+    bm = jnp.asarray(model.body_mass, dtype)            # (NB,) or (NB, B)
+    mass = bm[None, :, None] if bm.ndim == 1 else bm[None]
+    bi = jnp.asarray(model.body_inertia, dtype)         # (NB, 3[, B])
+    inertia = bi.T[:, :, None] if bi.ndim == 2 else bi.transpose(1, 0, 2)
     T = (0.5 * jnp.sum(mass * pd * pd, axis=(0, 1))
          + 0.5 * jnp.sum(inertia * w_local * w_local, axis=(0, 1)))
     gdotp = jnp.einsum("inb,i->nb", p, jnp.asarray(model.gravity, dtype))
-    V = -jnp.sum(jnp.asarray(model.body_mass, dtype)[:, None] * gdotp, axis=0)
+    V = -jnp.sum((bm[:, None] if bm.ndim == 1 else bm) * gdotp, axis=0)
     return T - V
 
 

@@ -118,6 +118,37 @@ def test_bptt_gradient_parity():
                                rtol=1e-6, atol=1e-9)
 
 
+def test_step_parity_batched_model():
+    """Per-lane heterogeneous masses (StableGrasp-style density DR, C9):
+    lane-major step with trailing-batch model leaves == vmap over models."""
+    struct, model = task_scenes.tactile_push()
+    rng = np.random.default_rng(7)
+    states, q, qdot = _batch_states(struct, model, rng)
+    nu = len(struct.motor_dof)
+    u = jnp.asarray(rng.normal(scale=0.05, size=(B, nu)))
+    scale = jnp.asarray(1.0 + 0.3 * rng.uniform(-1, 1, size=(B,)))
+    bm = model.body_mass[None, :] * scale[:, None]              # (B, NB)
+    bi = model.body_inertia[None] * scale[:, None, None]        # (B, NB, 3)
+
+    step_ref = integrators.build_step(struct)
+    model_axes = jax.tree.map(lambda _: None, model)
+    model_axes = model_axes.replace(body_mass=0, body_inertia=0)
+    models = model.replace(body_mass=bm, body_inertia=bi)
+    out_ref = jax.jit(jax.vmap(step_ref, in_axes=(model_axes, 0, 0)))(
+        models, states, u)
+
+    step_l = lanes.build_step(struct)
+    model_l = model.replace(body_mass=bm.T, body_inertia=bi.transpose(1, 2, 0))
+    state_l = lanes.LaneSimState(q=q.T, qdot=qdot.T, q_prev=q.T,
+                                 qdot_prev=qdot.T,
+                                 t=jnp.zeros(B, jnp.int32))
+    out_l = jax.jit(lambda m, s, uu: step_l(m, s, uu))(model_l, state_l, u.T)
+    np.testing.assert_allclose(np.asarray(out_l.q).T, np.asarray(out_ref.q),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out_l.qdot).T,
+                               np.asarray(out_ref.qdot), rtol=1e-8, atol=1e-8)
+
+
 def test_tactile_field_parity():
     from tactilesimulation_tpu.sim import dynamics
     struct, model = task_scenes.rolling_ball(resolution=8)
