@@ -29,8 +29,11 @@ def main():
     ap.add_argument("--resolution", type=int, default=200)
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--batch", type=int, default=1,
-                    help="batched copies of the sim (vmap) — throughput mode "
+                    help="batched copies of the sim — throughput mode "
                          "the reference cannot do")
+    ap.add_argument("--lanes", action="store_true",
+                    help="run the batch through the lane-major (batch-last) "
+                         "core (sim/lanes.py) instead of vmap")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -68,7 +71,32 @@ def main():
     rollout = jax.jit(sim.make_rollout_strided(stride, remat=False,
                                                fast_tactile=True))
     state0 = sim.init_state()
-    if args.batch > 1:
+    if args.lanes and args.batch >= 1:
+        from tactilesimulation_tpu.sim import lanes
+        step_l = lanes.build_step(struct)
+        B = args.batch
+        dt = model.q_init.dtype
+
+        def lane_rollout(model, state, us_k):
+            def body(s, u):
+                def sub(s2, _):
+                    return step_l(model, s2, u), None
+                s, _ = jax.lax.scan(sub, s, None, length=stride)
+                tac = lanes.tactile_field(struct, model, s.q, s.qdot)
+                return s, tac
+            state, tacs = jax.lax.scan(body, state, us_k)
+            return state, tacs
+
+        q0 = jnp.broadcast_to(model.q_init[:, None],
+                              (struct.ndof_q, B)).astype(dt)
+        v0 = jnp.zeros_like(q0)
+        lstate = lanes.LaneSimState(q=q0, qdot=v0, q_prev=q0, qdot_prev=v0,
+                                    t=jnp.zeros(B, jnp.int32))
+        us_lane = jnp.broadcast_to(us_chunks[:, :, None],
+                                   us_chunks.shape + (B,))
+        lane_jit = jax.jit(lane_rollout)
+        run = lambda: lane_jit(model, lstate, us_lane)
+    elif args.batch > 1:
         rollout_b = jax.jit(jax.vmap(
             sim.make_rollout_strided(stride, remat=False, fast_tactile=True),
             in_axes=(None, 0, None)))
@@ -91,10 +119,15 @@ def main():
 
     nsteps = K * stride * max(args.batch, 1)
     print(f"time elapsed = {t1 - t0:.3f} , FPS = {nsteps / (t1 - t0):.1f}")
-    state, qs, vars_, tactiles = out
-    print("final q:", np.asarray(state.q)[..., :6])
-    tac = np.asarray(tactiles)[-1].reshape(-1, 3) if args.batch == 1 else \
-        np.asarray(tactiles)[0, -1].reshape(-1, 3)
+    if args.lanes:
+        state, tactiles = out
+        print("final q:", np.asarray(state.q)[:6, 0])
+        tac = np.asarray(tactiles)[-1][..., 0]          # (M, 3) lane 0
+    else:
+        state, qs, vars_, tactiles = out
+        print("final q:", np.asarray(state.q)[..., :6])
+        tac = np.asarray(tactiles)[-1].reshape(-1, 3) if args.batch == 1 \
+            else np.asarray(tactiles)[0, -1].reshape(-1, 3)
     print(f"tactile: max |normal| = {np.abs(tac[:, 2]).max():.4g}, "
           f"max |shear| = {np.linalg.norm(tac[:, :2], axis=1).max():.4g}, "
           f"active markers = {(np.abs(tac[:, 2]) > 1e-9).sum()}")

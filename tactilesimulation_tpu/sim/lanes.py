@@ -115,6 +115,22 @@ def _col(arr2d, dtype):
     return jnp.asarray(arr2d, dtype).T[:, :, None]
 
 
+def mat_vec(R, v):
+    """R v, unrolled: R (3, 3, ..., B), v (3, ..., B) -> (3, ..., B).
+
+    An einsum here lowers to a dot_general with a 3-wide contraction — on
+    TPU that pads onto 128x128 MXU tiles and forces layout transposes; the
+    unrolled form stays on the VPU with the native lane-major layout."""
+    return jnp.stack([R[i, 0] * v[0] + R[i, 1] * v[1] + R[i, 2] * v[2]
+                      for i in range(3)])
+
+
+def mat_tvec(R, v):
+    """R^T v, unrolled (see mat_vec)."""
+    return jnp.stack([R[0, i] * v[0] + R[1, i] * v[1] + R[2, i] * v[2]
+                      for i in range(3)])
+
+
 # ---------------------------------------------------------------------------
 # forward kinematics  (q: (n, B))
 # ---------------------------------------------------------------------------
@@ -127,7 +143,10 @@ def fk_joints(struct: Structure, model: Model, q):
     q_pad = jnp.concatenate([q, jnp.zeros((1, B), dtype)], axis=0)
     qt = q_pad[jnp.asarray(tb["trans_idx"].T)]                  # (3, J, B)
     basis = jnp.asarray(tb["basis"], dtype)                     # (J, 3, 3)
-    trans_local = jnp.einsum("jik,kjb->ijb", basis, qt)
+    bT = basis.transpose(1, 2, 0)                               # (i, k, J)
+    trans_local = jnp.stack(
+        [sum(bT[i, k][:, None] * qt[k] for k in range(3))
+         for i in range(3)])                                    # (3, J, B)
     qr = q_pad[jnp.asarray(tb["rot_idx"].T)]                    # (3, J, B)
     axis0 = _col(model.joint_axis0, dtype)                      # (3, J, 1)
     aa = axis_angle_quat(axis0, qr[0])
@@ -218,7 +237,7 @@ def lagrangian(struct: Structure, model: Model, q, v):
     (p, quat), (pd, quatd) = jax.jvp(fk, (q,), (v,))
     w = 2.0 * quat_mul(quatd, quat_conj(quat))[1:]
     R = quat_to_mat(quat)                               # (3, 3, NB, B)
-    w_local = jnp.einsum("jinb,jnb->inb", R, w)
+    w_local = mat_tvec(R, w)
     dtype = q.dtype
     bm = jnp.asarray(model.body_mass, dtype)            # (NB,) or (NB, B)
     mass = bm[None, :, None] if bm.ndim == 1 else bm[None]
@@ -226,7 +245,8 @@ def lagrangian(struct: Structure, model: Model, q, v):
     inertia = bi.T[:, :, None] if bi.ndim == 2 else bi.transpose(1, 0, 2)
     T = (0.5 * jnp.sum(mass * pd * pd, axis=(0, 1))
          + 0.5 * jnp.sum(inertia * w_local * w_local, axis=(0, 1)))
-    gdotp = jnp.einsum("inb,i->nb", p, jnp.asarray(model.gravity, dtype))
+    g3 = jnp.asarray(model.gravity, dtype)
+    gdotp = g3[0] * p[0] + g3[1] * p[1] + g3[2] * p[2]
     V = -jnp.sum((bm[:, None] if bm.ndim == 1 else bm) * gdotp, axis=0)
     return T - V
 
@@ -325,7 +345,7 @@ def _group_sdf(group, struct, model, x, body_p, body_R):
     R_b = body_R[:, :, pidx]                           # (3, 3, N, B)
     size = _col(model.body_size, dtype)[:, pidx]       # (3, N, 1)
     d = x - p_b
-    xl = jnp.einsum("jinb,jnb->inb", R_b, d)           # R^T d
+    xl = mat_tvec(R_b, d)                              # R^T d
     if group.gtype == contact.GEOM_CUBOID:
         phi, gl = _sdf_box(xl, size / 2.0)
     elif group.gtype == contact.GEOM_CYLINDER:
@@ -334,7 +354,7 @@ def _group_sdf(group, struct, model, x, body_p, body_R):
         phi, gl = _sdf_sphere(xl, size[0])
     else:
         raise ValueError(group.gtype)
-    n = jnp.einsum("ijnb,jnb->inb", R_b, gl)
+    n = mat_vec(R_b, gl)
     return phi, n
 
 
@@ -396,7 +416,7 @@ def contact_terms(struct: Structure, model: Model, q, v):
             p_b = bp[:, pidx]
             R_b = bR[:, :, pidx]
             v_prim = bv[:, pidx] + cross(bw[:, pidx], x_eff - p_b)
-            xi_p = jnp.einsum("jinb,jnb->inb", R_b, x_eff - p_b)
+            xi_p = mat_tvec(R_b, x_eff - p_b)
         prm = params[np.asarray(g.param_idx)].T[:, :, None]        # (4, N, 1)
         f = _penalty_force(phi, n, v_pt - v_prim, prm)
         per_group.append((g, f, x, x_eff, xi_p))

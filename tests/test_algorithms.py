@@ -9,6 +9,8 @@ import pytest
 
 from tactilesimulation_tpu.envs import pendulum
 
+pytestmark = pytest.mark.slow  # compile-bound: minutes on the CPU mesh
+
 
 @pytest.fixture(scope="module")
 def env():

@@ -8,6 +8,8 @@ import pytest
 
 from tactilesimulation_tpu.envs import tactile_push
 
+pytestmark = pytest.mark.slow  # compile-bound: minutes on the CPU mesh
+
 
 @pytest.fixture(scope="module")
 def env():

@@ -10,6 +10,8 @@ import pytest
 from tactilesimulation_tpu.model import scenes
 from tactilesimulation_tpu.sim.simulation import Simulation, Simulator
 
+pytestmark = pytest.mark.slow  # compile-bound: minutes on the CPU mesh
+
 
 @pytest.fixture(scope="module")
 def sim():

@@ -16,6 +16,8 @@ import pytest
 from tactilesimulation_tpu.model import task_scenes
 from tactilesimulation_tpu.sim import integrators, kinematics, lanes
 
+pytestmark = pytest.mark.slow  # compile-bound: minutes on the CPU mesh
+
 B = 3
 
 

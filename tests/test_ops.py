@@ -15,6 +15,8 @@ from tactilesimulation_tpu.ops import dense_contact, tactile_query
 from tactilesimulation_tpu.sim import contact, dynamics, spatial
 from tactilesimulation_tpu.sim.contact import GROUND
 
+pytestmark = pytest.mark.slow  # compile-bound: minutes on the CPU mesh
+
 
 def _oracle(gtype, x, xd, pose, vel, size, params, ground):
     p, R = pose

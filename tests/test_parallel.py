@@ -3,6 +3,8 @@ the driver's dryrun contract plus mesh utility checks."""
 
 import sys
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -14,11 +16,13 @@ def test_eight_virtual_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import __graft_entry__
     fn, args = __graft_entry__.entry()

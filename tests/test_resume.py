@@ -9,6 +9,9 @@ import numpy as np
 
 from tactilesimulation_tpu.algorithms.gd import GD
 from tactilesimulation_tpu.envs import pendulum
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-bound: minutes on the CPU mesh
 
 CFG = {"config": {"num_epochs": 4, "num_episodes": 4, "lr": 1e-2,
                   "obs_rms": True},

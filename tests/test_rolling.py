@@ -7,6 +7,9 @@ import numpy as np
 
 from tactilesimulation_tpu.model.scenes import SceneBuilder
 from tactilesimulation_tpu.sim.simulation import Simulator
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-bound: minutes on the CPU mesh
 
 
 def _ball_scene():

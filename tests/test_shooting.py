@@ -9,6 +9,9 @@ import numpy as np
 from tactilesimulation_tpu.algorithms.shooting import ShootingOptimizer
 from tactilesimulation_tpu.model import scenes
 from tactilesimulation_tpu.sim.simulation import Simulator
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-bound: minutes on the CPU mesh
 
 
 def test_pendulum_swingup():

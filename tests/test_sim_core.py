@@ -13,6 +13,8 @@ from tactilesimulation_tpu.model import scenes
 from tactilesimulation_tpu.sim import dynamics, integrators
 from tactilesimulation_tpu.sim.simulation import Simulator
 
+pytestmark = pytest.mark.slow  # compile-bound: minutes on the CPU mesh
+
 
 @pytest.fixture(scope="module")
 def pendulum():
