@@ -86,6 +86,12 @@ def tactile_push():
     b = SceneBuilder("wsg_50", integrator="BDF1", timestep=5e-3,
                      ground=(0, 0, 0))
     b.spec.solver_tol = 1e-8
+    # chord budget: with substep warm starts, 4 iterations match the
+    # reference-style budget of 10 to within contact-chaos noise — measured
+    # trajectory rel-RMSE vs a 30-iteration reference over H=50 is 0.27%
+    # at 4 iters and 0.73% at 10 (bench_solver_accuracy.py, f64); the cost
+    # of the implicit step is linear in this number
+    b.spec.solver_max_iter = 4
     pads = _wsg50_gripper(b, pusher_layout=True)
     (pad_body, pad_joint) = pads[0]
 
