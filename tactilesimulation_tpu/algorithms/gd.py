@@ -56,6 +56,11 @@ class GD:
         self.grad_norm = config.get("grad_norm", 1.0)
         self.betas = tuple(config.get("betas", (0.9, 0.999)))
         self.use_obs_rms = config.get("obs_rms", False)
+        # Rematerialize rollout steps in the backward pass (default ON for
+        # training: without it BPTT stores every substep's intermediates for
+        # the whole horizon x batch — OOM risk at large E/H scales. bench.py
+        # measures the speed tradeoff explicitly via --remat).
+        self.remat = config.get("remat", True)
         self.logdir = logdir
         # §5.1 upgrade over the reference: device-trace profiling. Set cfg
         # config.profile_epochs = [lo, hi) to capture a JAX profiler trace of
@@ -127,7 +132,7 @@ class GD:
         def epoch_loss(params, keys, obs_rms):
             run = env.batched_rollout_fn(
                 policy_apply_factory(obs_rms), self.horizon,
-                with_obs=self.use_obs_rms)
+                remat=self.remat, with_obs=self.use_obs_rms)
             outs = run(params, keys)
             rewards, infos = outs[0], outs[2]
             episode_reward = jnp.sum(rewards, axis=-1)   # (E,)
@@ -143,9 +148,16 @@ class GD:
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             if self.use_obs_rms:
-                # post-epoch stats update with the obs the policy saw this
-                # epoch (normalized with the PRE-epoch stats) — the exact
-                # reference semantics (gd.py:226-246).
+                # Post-epoch bulk stats update with the obs the policy saw
+                # this epoch. NOTE: this is a *parallelized approximation* of
+                # the reference (gd.py:226-246), which updates the stats
+                # incrementally per sequential episode (episode i normalizes
+                # with stats already including episodes 0..i-1 of the same
+                # epoch, and its update includes the terminal observation).
+                # Here all E episodes normalize with the pre-epoch stats and
+                # one bulk update excludes each episode's final obs — the
+                # numerics converge to the same statistics but diverge
+                # epoch-by-epoch from the reference.
                 obs_seen = aux[2]
                 obs_rms = obs_rms.update(
                     obs_seen.reshape(-1, obs_seen.shape[-1]))
@@ -155,8 +167,13 @@ class GD:
             from jax.sharding import NamedSharding, PartitionSpec as P
             rep = NamedSharding(self.mesh, P())
             shard = NamedSharding(self.mesh, P("batch"))
+            # out_shardings replicates EVERY output (incl. the per-episode
+            # reward aux): on a multi-host cluster a batch-sharded aux is not
+            # fully addressable and np.asarray(aux[0]) on the host would
+            # raise. The all-gather this inserts is tiny ((E,) floats).
             self._update = jax.jit(
-                update, in_shardings=(rep, rep, shard, rep))
+                update, in_shardings=(rep, rep, shard, rep),
+                out_shardings=rep)
         else:
             self._update = jax.jit(update)
         self._policy_factory = policy_apply_factory

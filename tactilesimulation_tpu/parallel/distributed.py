@@ -98,6 +98,9 @@ def global_from_full(mesh: Mesh, full, axis: str = "batch"):
     pc, pid = jax.process_count(), jax.process_index()
 
     def shard_one(x):
+        assert x.shape[0] % pc == 0, (
+            f"leading axis {x.shape[0]} must divide the {pc}-process "
+            "cluster (episodes would be silently dropped otherwise)")
         loc = x.shape[0] // pc
         return jax.make_array_from_process_local_data(
             NamedSharding(mesh, P(axis)),
