@@ -1,13 +1,17 @@
 """Hot-path dissection on the real TPU: where does the substep time go?
 
-Measures batched env.step at several batch sizes (latency- vs throughput-
-bound?), the effect of the Newton/chord iteration count, and the per-residual
-cost. Prints one line per experiment as it completes.
+Round-3 version, tunnel-aware: the axon TPU tunnel adds a ~24 ms per-program
+dispatch floor, so naive per-op timing is meaningless. Every component here
+is measured as ONE jitted program that runs the component K times in a
+sequential ``lax.fori_loop`` (data-dependent chaining defeats DCE), and the
+per-iteration time is (total - floor) / K. Results go to
+artifacts/PROFILE_r03.json; --trace additionally dumps an XLA op trace.
 
-Run: python bench_profile.py
+Run: python bench_profile.py [--trace] [--obs no_tactile|tactile_flatten]
 """
 
-import dataclasses
+import argparse
+import json
 import os
 import time
 
@@ -20,79 +24,221 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 from tactilesimulation_tpu.envs import tactile_push
-from tactilesimulation_tpu.sim import dynamics, integrators
+from tactilesimulation_tpu.sim import lanes
+
+RESULTS = {}
+FLOOR_S = [0.0]
 
 
-def timeit(fn, *args, repeats=10):
+def timeit_raw(fn, *args, repeats=8):
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(repeats):
+        t0 = time.perf_counter()
         out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / repeats
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def timeit_looped(make_body, init, K=100, repeats=8):
+    """make_body: () -> body(i, carry) -> carry. Returns per-iteration secs.
+
+    Times the loop at K and 2K trips and differences them — cancels the
+    tunnel dispatch floor exactly (both programs pay it once)."""
+
+    def prog_k(c0):
+        return jax.lax.fori_loop(0, K, make_body(), c0)
+
+    def prog_2k(c0):
+        return jax.lax.fori_loop(0, 2 * K, make_body(), c0)
+
+    tk = timeit_raw(jax.jit(prog_k), init, repeats=repeats)
+    t2k = timeit_raw(jax.jit(prog_2k), init, repeats=repeats)
+    return max(t2k - tk, 1e-9) / K
+
+
+def report(name, t_iter, B=None, per=None):
+    RESULTS[name] = {"ms": round(t_iter * 1e3, 4)}
+    extra = ""
+    if B is not None and per is not None:
+        RESULTS[name]["rps_if_dominant"] = round(B / (t_iter * per), 1)
+        extra = f"  (rollouts/s if this ran 1x per {per}: {B/(t_iter*per):.1f})"
+    print(f"{name}: {t_iter*1e3:.3f} ms{extra}", flush=True)
 
 
 def main():
-    env = tactile_push.make("no_tactile")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", action="store_true")
+    ap.add_argument("--obs", default="no_tactile")
+    ap.add_argument("--batch", type=int, default=1024)
+    args = ap.parse_args()
+
+    env = tactile_push.make(args.obs)
+    lenv = env.lane_env()
     struct, model = env.struct, env.model
+    B = args.batch
+    H, FS = 150, env.frame_skip           # bench.py protocol
     key = jax.random.PRNGKey(0)
-
-    def report(name, t, B):
-        print(f"{name}: {t*1e3:.2f} ms  "
-              f"(fwd rollouts/s @H=150 if env.step: {B/(t*150):.1f})",
-              flush=True)
-
-    # batch scaling of env.step
-    for B in (1024, 256, 4096):
-        keys = jax.random.split(key, B)
-        states = jax.vmap(lambda k: env.reset(k)[0])(keys)
-        u = jnp.zeros((B, env.ndof_u))
-        stepb = jax.jit(jax.vmap(lambda s, a: env.step(s, a)[0]))
-        t = timeit(stepb, states, u)
-        report(f"env.step B={B} max_iter=10", t, B)
-
-    # iteration-count effect at B=1024
-    B = 1024
     keys = jax.random.split(key, B)
-    states = jax.vmap(lambda k: env.reset(k)[0])(keys)
-    u = jnp.zeros((B, env.ndof_u))
-    for it in (4, 2):
-        env2 = tactile_push.make("no_tactile")
-        env2.struct = dataclasses.replace(env2.struct, solver_max_iter=it)
-        env2._step_sim = integrators.build_step(env2.struct)
-        stepb = jax.jit(jax.vmap(lambda s, a: env2.step(s, a)[0]))
-        t = timeit(stepb, states, u)
-        report(f"env.step B={B} max_iter={it}", t, B)
 
-    # single residual eval at B=1024
-    residual_fn = integrators.make_residual(struct)
-    nu = len(struct.motor_dof)
-    p0 = jax.vmap(lambda q, qd: dynamics.momentum(struct, model, q, qd))(
-        states.sim.q, states.sim.qdot)
-    inputs = integrators.StepInputs(
-        model=model, u=jnp.zeros((B, nu)), q_base=states.sim.q,
-        p_base=p0, gamma=jnp.full((B,), model.h))
-    in_axes = (0, integrators.StepInputs(model=None, u=0, q_base=0,
-                                         p_base=0, gamma=0))
-    res_b = jax.jit(jax.vmap(residual_fn, in_axes=in_axes))
-    t = timeit(res_b, states.sim.qdot, inputs)
-    report(f"residual B={B}", t, B)
+    state, obs = jax.jit(lenv.reset)(keys)
+    u6 = jnp.zeros((6, B))
+    n = state.sim.q.shape[0]
 
-    # gradient step (the bench workload shape) at small horizon H=10
-    def rollout(us, k):
-        st, _ = env.reset(k)
-        def body(c, uu):
-            s2, _, r, _, _ = env.step(c, uu)
-            return s2, r
-        _, rs = jax.lax.scan(body, st, us)
-        return jnp.sum(rs)
-    gfn = jax.jit(jax.grad(lambda us, ks:
-                           jnp.mean(jax.vmap(rollout)(us, ks))))
-    us = jnp.zeros((B, 10, env.ndof_u))
-    t = timeit(gfn, us, keys, repeats=3)
-    print(f"grad rollout H=10 B={B}: {t*1e3:.2f} ms  "
-          f"(diff rollouts/s scaled to H=150: {B/(t*15):.1f})", flush=True)
+    # dispatch floor: trivial program
+    FLOOR_S[0] = timeit_raw(jax.jit(lambda x: x + 1.0), jnp.zeros(()))
+    print(f"dispatch floor: {FLOOR_S[0]*1e3:.2f} ms", flush=True)
+    RESULTS["dispatch_floor_ms"] = round(FLOOR_S[0] * 1e3, 3)
+    RESULTS["config"] = {"n": n, "B": B, "frame_skip": FS,
+                         "max_iter": struct.solver_max_iter,
+                         "obs": args.obs,
+                         "device": str(jax.devices()[0].device_kind)}
+
+    residual_fn = lanes.make_residual(struct)
+    from tactilesimulation_tpu.sim.lanes import StepInputs
+    p0 = lanes.momentum(struct, model, state.sim.q, state.sim.qdot)
+    inputs = StepInputs(model=model, u=u6, q_base=state.sim.q, p_base=p0,
+                        gamma=jnp.full((1, 1), model.h))
+    v0 = state.sim.qdot
+
+    # --- momentum ----------------------------------------------------------
+    def mom_body():
+        def body(i, v):
+            return lanes.momentum(struct, model, state.sim.q, v) * 1e-3
+        return body
+
+    report("momentum", timeit_looped(mom_body, v0), B, per=H * FS)
+
+    # --- residual ----------------------------------------------------------
+    def res_body():
+        def body(i, v):
+            return residual_fn(v, inputs) * 1e-3
+        return body
+
+    report("residual", timeit_looped(res_body, v0), B,
+           per=H * FS * (struct.solver_max_iter + 1))
+
+    # --- jacobian (linearize + n tangents) ----------------------------------
+    eye_t = jnp.broadcast_to(jnp.eye(n)[:, :, None], (n, n, B))
+
+    def jac_once(v):
+        r0, lin = jax.linearize(lambda vv: residual_fn(vv, inputs), v)
+        Jc = jax.vmap(lin)(eye_t.astype(v.dtype))
+        return r0, jnp.swapaxes(Jc, 0, 1)
+
+    def jac_body():
+        def body(i, v):
+            r0, J = jac_once(v)
+            return v + 1e-9 * (r0 + jnp.sum(J, axis=1))
+        return body
+
+    report("jacobian_linearize", timeit_looped(jac_body, v0), B, per=H * FS)
+
+    # --- factor + one solve --------------------------------------------------
+    J0 = jax.jit(jac_once)(v0)[1]
+
+    def fac_body():
+        def body(i, r):
+            lu = lanes.gauss_factor(lanes._ridge(J0 + 1e-12 * jnp.sum(r)))
+            return lanes.gauss_solve(lu, r)
+        return body
+
+    report("gauss_factor+solve", timeit_looped(fac_body, jnp.ones((n, B))),
+           B, per=H * FS)
+
+    # --- chord iteration body (solve + residual) ------------------------------
+    lu0 = jax.jit(lambda J: lanes.gauss_factor(lanes._ridge(J)))(J0)
+
+    def chord_body():
+        def body(i, carry):
+            v, r = carry
+            dv = lanes.gauss_solve(lu0, r)
+            v2 = v - 1e-3 * dv
+            return v2, residual_fn(v2, inputs)
+        return body
+
+    t = timeit_looped(chord_body, (v0, jax.jit(residual_fn)(v0, inputs)))
+    report("chord_iter(solve+residual)", t, B,
+           per=H * FS * struct.solver_max_iter)
+
+    # --- full substep fwd -----------------------------------------------------
+    step = lanes.build_step(struct)
+
+    def sub_body():
+        def body(i, s):
+            return step(model, s, u6)
+        return body
+
+    report("lane_substep_fwd", timeit_looped(sub_body, state.sim, K=50),
+           B, per=H * FS)
+
+    # --- substep fwd+grad (BPTT unit cost) -------------------------------------
+    def sub_loss(qqd, uu):
+        s = state.sim._replace(q=qqd[0], qdot=qqd[1])
+        s2 = step(model, s, uu)
+        return jnp.sum(s2.q) * 1e-6, (s2.q, s2.qdot)
+
+    gfn = jax.grad(sub_loss, argnums=(0, 1), has_aux=True)
+
+    def subg_body():
+        def body(i, carry):
+            qqd, uu = carry
+            (gq, gu), nxt = gfn(qqd, uu)
+            return ((nxt[0] + 1e-9 * gq[0], nxt[1] + 1e-9 * gq[1]),
+                    uu + 1e-9 * gu)
+        return body
+
+    t = timeit_looped(subg_body, ((state.sim.q, state.sim.qdot), u6), K=25)
+    report("lane_substep_fwd+grad", t, B, per=H * FS)
+
+    # --- full env step fwd ------------------------------------------------------
+    uB = jnp.zeros((B, lenv.ndof_u))
+
+    def env_body():
+        def body(i, st):
+            s2, o, r, d, info = lenv.step(st, uB)
+            return s2
+        return body
+
+    report("env_step_fwd", timeit_looped(env_body, state, K=25), B, per=H)
+
+    # --- batch scaling of the fwd substep ----------------------------------------
+    for Bs in (256, 1024, 4096, 16384):
+        ks = jax.random.split(key, Bs)
+        st, _ = jax.jit(lenv.reset)(ks)
+        u6s = jnp.zeros((6, Bs))
+
+        def sb():
+            def body(i, s):
+                return step(model, s, u6s)
+            return body
+
+        t = timeit_looped(sb, st.sim, K=50)
+        RESULTS[f"substep_fwd_B{Bs}"] = {"ms": round(t * 1e3, 4)}
+        print(f"substep_fwd_B{Bs}: {t*1e3:.3f} ms "
+              f"({Bs/t*1e-6:.2f}M substep-lanes/s)", flush=True)
+
+    # --- optional XLA trace on the env-step grad ----------------------------------
+    if args.trace:
+        os.makedirs("artifacts", exist_ok=True)
+
+        def es_loss(st, uu):
+            _, _, r, _, _ = lenv.step(st, uu)
+            return jnp.sum(r)
+
+        gfn2 = jax.jit(jax.grad(es_loss, argnums=1))
+        gfn2(state, uB).block_until_ready()
+        with jax.profiler.trace("artifacts/PROFILE_r03_trace"):
+            out = gfn2(state, uB)
+            out.block_until_ready()
+        print("trace written to artifacts/PROFILE_r03_trace", flush=True)
+
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/PROFILE_r03.json", "w") as fp:
+        json.dump(RESULTS, fp, indent=1)
+    print("wrote artifacts/PROFILE_r03.json", flush=True)
 
 
 if __name__ == "__main__":

@@ -45,9 +45,32 @@ class VecEnvState:
 
 @fstruct.dataclass
 class NormState:
-    obs_rms: RunningMeanStd
+    obs_rms: Any             # pytree of RunningMeanStd matching the obs pytree
     ret_rms: RunningMeanStd
     returns: jnp.ndarray     # (N,) discounted return accumulator
+
+
+def _is_rms(x):
+    return isinstance(x, RunningMeanStd)
+
+
+def rms_tree_create(dummy_obs, dtype):
+    """One RunningMeanStd per obs leaf — supports tuple observations like
+    TactilePush ``tactile_map``'s (image, state) pair (reference VecNormalize
+    only handles flat Boxes; this generalizes it)."""
+    return jax.tree.map(
+        lambda o: RunningMeanStd.create(jnp.shape(o), dtype), dummy_obs)
+
+
+def rms_tree_update(rms_tree, batch):
+    return jax.tree.map(lambda r, b: r.update(b), rms_tree, batch,
+                        is_leaf=_is_rms)
+
+
+def rms_tree_normalize(rms_tree, obs, clip):
+    return jax.tree.map(
+        lambda r, o: jnp.clip(r.normalize(o), -clip, clip), rms_tree, obs,
+        is_leaf=_is_rms)
 
 
 class PPO:
@@ -85,10 +108,11 @@ class PPO:
         actor_cls = network.get("actor", "DiagGaussianActor")
         critic_cls = network.get("critic", "MLPCritic")
         self.ac = nets.ActorCritic(env.ndof_u, network, actor_cls, critic_cls)
-        obs_dim = env.obs_size()
         key = jax.random.PRNGKey(seed)
-        dummy_obs = (jnp.zeros(obs_dim) if isinstance(obs_dim[0], int)
-                     and len(obs_dim) == 1 else jnp.zeros(obs_dim))
+        # infer the obs pytree (flat vector OR tuple obs like tactile_map's
+        # (image, state)) from the env itself — no shape bookkeeping
+        obs_sd = jax.eval_shape(env.reset, jax.random.PRNGKey(0))[1]
+        dummy_obs = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), obs_sd)
         self.params = self.ac.init(key, dummy_obs)
 
         sched = (optax.linear_schedule(
@@ -101,7 +125,7 @@ class PPO:
 
         dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self.norm = NormState(
-            obs_rms=RunningMeanStd.create(obs_dim, dt),
+            obs_rms=rms_tree_create(dummy_obs, dt),
             ret_rms=RunningMeanStd.create((), dt),
             returns=jnp.zeros(self.num_processes, dt))
         self._build()
@@ -114,7 +138,7 @@ class PPO:
         def norm_obs(rms, obs):
             if not self.norm_obs:
                 return obs
-            return jnp.clip(rms.normalize(obs), -self.clip_obs, self.clip_obs)
+            return rms_tree_normalize(rms, obs, self.clip_obs)
 
         def vec_reset(key):
             keys = jax.random.split(key, N)
@@ -161,7 +185,7 @@ class PPO:
                 else:
                     r_train = reward
                 returns = jnp.where(done, 0.0, returns)
-                new_obs_rms = norm.obs_rms.update(vec.obs)
+                new_obs_rms = rms_tree_update(norm.obs_rms, vec.obs)
                 new_norm = NormState(obs_rms=new_obs_rms, ret_rms=new_ret_rms,
                                      returns=returns)
                 new_vec = VecEnvState(env_states=nstate, obs=next_obs, t=t,
@@ -350,8 +374,8 @@ class PPO:
         while not done and t < self.env.max_episode_steps:
             nobs = obs
             if self.norm_obs:
-                nobs = jnp.clip(self.norm.obs_rms.normalize(obs),
-                                -self.clip_obs, self.clip_obs)
+                nobs = rms_tree_normalize(self.norm.obs_rms, obs,
+                                          self.clip_obs)
             action = self.ac.apply(self.params, nobs, None, True,
                                    method=self.ac.act)[1]
             state, obs, reward, done, info = step(state, action)

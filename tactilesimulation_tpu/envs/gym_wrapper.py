@@ -36,17 +36,38 @@ class GymEnv:
         self._key, k = jax.random.split(self._key)
         self._state, obs = self._reset(k)
         self._t = 0
+        self._traj = [np.asarray(self._state.sim.q)]
         return jax.tree.map(np.asarray, obs)
 
     def step(self, u):
         self._state, obs, reward, done, info = self._step(
             self._state, jnp.asarray(u))
         self._t += 1
+        self._traj.append(np.asarray(self._state.sim.q))
         done = bool(done) or self._t >= self.max_episode_steps
         info = {k: np.asarray(v) for k, v in info.items()}
         if self._t >= self.max_episode_steps:
             info["TimeLimit.truncated"] = True
         return jax.tree.map(np.asarray, obs), float(reward), done, info
 
-    def render(self, mode="once"):
-        pass  # offline rendering: utils/renderer.py consumes dumped trajectories
+    def render(self, mode="once", record_path="render.gif"):
+        """Headless replay of the episode so far (reference
+        redmax_torch_env.py:52-70 render modes once/loop/record).
+
+        ``once``/``loop`` return the current frame as an RGB array;
+        ``record`` writes the episode trajectory to ``record_path`` (GIF, or
+        numbered PNGs when the path is a folder) and returns the frame count.
+        """
+        from ..utils import renderer
+        env = self.env
+        model = getattr(self._state, "model_var", None) or env.model
+        if mode == "record" and len(getattr(self, "_traj", [])) > 1:
+            return renderer.render_trajectory(
+                env.struct, model, np.stack(self._traj), record_path)
+        import matplotlib.pyplot as plt
+        fig = renderer.render_frame(env.struct, model,
+                                    np.asarray(self._state.sim.q))
+        fig.canvas.draw()
+        frame = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
+        plt.close(fig)
+        return frame

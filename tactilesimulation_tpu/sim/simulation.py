@@ -95,6 +95,24 @@ class Simulator:
 
         return rollout
 
+    def make_rollout_states(self):
+        """(model, state0, us (T,nu)) -> SimState with (T, ...) leaves: the
+        full state after every step, as ONE scanned device program. Used by
+        the facade's multi-step ``forward`` so ported drivers that call
+        ``sim.forward(180)`` (StableGrasp-style macro steps) don't pay a
+        host dispatch per substep."""
+        step = self._step
+
+        def rollout(model, state0, us):
+            def body(s, u):
+                s2 = step(model, s, u)
+                return s2, s2
+
+            _, stacked = jax.lax.scan(body, state0, us)
+            return stacked
+
+        return rollout
+
     def make_rollout_strided(self, stride: int, remat: bool = True,
                              fast_tactile: bool = False):
         """(model, state0, us (K,nu)) -> outputs at chunk ends only; each
@@ -279,12 +297,29 @@ class Simulation:
                 test_derivatives: bool = False,
                 save_last_frame_var_only: bool = False):
         del verbose, save_last_frame_var_only
-        for _ in range(num_steps):
+        if num_steps > 1:
+            # one scanned device program instead of num_steps host dispatches
+            if not hasattr(self, "_rollout_states"):
+                self._rollout_states = jax.jit(self.sim.make_rollout_states())
+            dtype = self._state.q.dtype
+            us = jnp.broadcast_to(jnp.asarray(self._u, dtype),
+                                  (num_steps, self.struct.ndof_u))
+            stacked = self._rollout_states(self.model, self._state, us)
+            states = [jax.tree.map(lambda x: x[i], stacked)
+                      for i in range(num_steps)]
             if self._episode is not None:
-                self._episode.us.append(self._u.copy())
-                self._episode.state_snapshots.append(self._state)
-            self._state = self.sim.step(self.model, self._state, self._u)
-            self._trajectory.append(np.asarray(self._state.q))
+                self._episode.us.extend([self._u.copy()] * num_steps)
+                self._episode.state_snapshots.extend(
+                    [self._state] + states[:-1])
+            self._state = states[-1]
+            self._trajectory.extend(np.asarray(stacked.q))
+        else:
+            for _ in range(num_steps):
+                if self._episode is not None:
+                    self._episode.us.append(self._u.copy())
+                    self._episode.state_snapshots.append(self._state)
+                self._state = self.sim.step(self.model, self._state, self._u)
+                self._trajectory.append(np.asarray(self._state.q))
         if test_derivatives:
             self._test_derivatives()
 
@@ -493,11 +528,13 @@ class Simulation:
         qs = self.export_trajectory()
         if not len(qs):
             return 0
-        if self.viewer_options.record:
-            path = self.viewer_options.record_folder or "replay_frames"
+        vo = self.viewer_options
+        if vo.record:
+            path = vo.record_folder or "replay_frames"
             return renderer.render_trajectory(
-                self.struct, self.model, qs, path,
-                fps=self.viewer_options.fps)
+                self.struct, self.model, qs, path, fps=vo.fps,
+                speed=vo.speed, loop=vo.loop,
+                camera=(vo.camera_pos, vo.camera_lookat))
         import numpy as _np
         import matplotlib.pyplot as plt
         fig = renderer.render_frame(self.struct, self.model, qs[-1])

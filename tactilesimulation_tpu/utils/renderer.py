@@ -50,7 +50,10 @@ def _draw_body(ax, gtype, size, p, R, color):
             ax.plot(ring[:, 0], ring[:, 1], ring[:, 2], color=color, lw=0.8)
 
 
-def render_frame(struct, model, q, ax=None, lim=0.3):
+def render_frame(struct, model, q, ax=None, lim=0.3, camera=None):
+    """``camera``: optional (camera_pos, camera_lookat) pair — honored by
+    setting the 3D view direction + centering, mirroring the reference
+    viewer_options.camera_pos/camera_lookat (SURVEY.md C11)."""
     from ..sim import kinematics, spatial
     import jax.numpy as jnp
 
@@ -66,19 +69,30 @@ def render_frame(struct, model, q, ax=None, lim=0.3):
     for b in range(struct.nbodies):
         _draw_body(ax, struct.body_gtype[b], sizes[b], p[b], R[b],
                    tuple(np.clip(rgba[b, :3], 0, 1)))
-    ax.set_xlim(-lim, lim)
-    ax.set_ylim(-lim, lim)
-    ax.set_zlim(0, 2 * lim)
+    center = np.zeros(3)
+    if camera is not None:
+        pos = np.asarray(camera[0], float)
+        lookat = np.asarray(camera[1], float)
+        center = lookat
+        d = pos - lookat
+        ax.view_init(
+            elev=float(np.degrees(np.arctan2(d[2], np.hypot(d[0], d[1])))),
+            azim=float(np.degrees(np.arctan2(d[1], d[0]))))
+    ax.set_xlim(center[0] - lim, center[0] + lim)
+    ax.set_ylim(center[1] - lim, center[1] + lim)
+    ax.set_zlim(center[2], center[2] + 2 * lim)
     return ax.figure if own_fig else None
 
 
-def render_trajectory(struct, model, qs, path, fps=30, every=1, lim=0.3):
+def render_trajectory(struct, model, qs, path, fps=30, every=1, lim=0.3,
+                      camera=None, speed=1.0, loop=False):
     """qs (T, ndof) -> numbered PNGs (path is a folder) or an animated GIF
-    (path endswith .gif)."""
+    (path endswith .gif). ``speed`` scales playback rate and ``loop`` makes
+    the GIF repeat — the reference viewer_options.speed/.loop knobs."""
     qs = np.asarray(qs)[::every]
     frames = []
     for i, q in enumerate(qs):
-        fig = render_frame(struct, model, q, lim=lim)
+        fig = render_frame(struct, model, q, lim=lim, camera=camera)
         fig.canvas.draw()
         frames.append(np.asarray(fig.canvas.buffer_rgba())[..., :3].copy())
         plt.close(fig)
@@ -87,7 +101,8 @@ def render_trajectory(struct, model, qs, path, fps=30, every=1, lim=0.3):
         imgs = [Image.fromarray(f) for f in frames]
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         imgs[0].save(path, save_all=True, append_images=imgs[1:],
-                     duration=int(1000 / fps), loop=0)
+                     duration=int(1000 / (fps * max(speed, 1e-6))),
+                     loop=0 if loop else 1)
     else:
         os.makedirs(path, exist_ok=True)
         from PIL import Image
@@ -102,6 +117,8 @@ class SimRenderer:
     @staticmethod
     def replay(sim, record=False, record_path="replay.gif"):
         qs = sim.export_trajectory()
+        vo = sim.viewer_options
         if record and len(qs):
             render_trajectory(sim.struct, sim.model, qs, record_path,
-                              fps=sim.viewer_options.fps)
+                              fps=vo.fps, speed=vo.speed, loop=vo.loop,
+                              camera=(vo.camera_pos, vo.camera_lookat))

@@ -31,6 +31,32 @@ def test_facade_surface(sim):
     assert sim.export_trajectory().shape == (6, 1)
 
 
+def test_multistep_forward_matches_stepwise(sim):
+    """forward(N) (one scanned device program) must equal N x forward(1)
+    (host loop) — state, trajectory, and episode recording."""
+    q0 = np.array([0.25])
+    sim.set_state_init(q0, np.zeros(1))
+    sim.reset(backward_flag=True)
+    sim.set_u(np.array([0.4]))
+    sim.forward(6)
+    q_scan = sim.get_q().copy()
+    traj_scan = sim.export_trajectory().copy()
+    ep_scan = sim._episode
+    # reset() seeds snapshots[0]; each step appends its pre-step state
+    assert len(ep_scan.us) == 6 and len(ep_scan.state_snapshots) == 7
+
+    sim.reset(backward_flag=True)
+    sim.set_u(np.array([0.4]))
+    for _ in range(6):
+        sim.forward(1)
+    np.testing.assert_allclose(sim.get_q(), q_scan, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(sim.export_trajectory(), traj_scan,
+                               rtol=1e-12, atol=1e-12)
+    for a, b in zip(ep_scan.state_snapshots, sim._episode.state_snapshots):
+        np.testing.assert_allclose(np.asarray(a.q), np.asarray(b.q),
+                                   rtol=1e-12, atol=1e-12)
+
+
 def test_facade_backward_matches_native_grad(sim):
     """EpisodicSimFunction-style backward (redmax_torch_functions.py:70-109):
     seed df_dq over the horizon, call backward(), compare df_du/df_dq0 with
