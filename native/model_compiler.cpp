@@ -528,12 +528,18 @@ class Compiler {
       for (int i = 0; i < 3; i++) inertia[i] = v[i];
       if (auto *coll = el->find("collision")) {
         aux.raw_points = load_points(base_dir_ + "/" + *coll->attr("contacts"));
+        // collision pos/quat maps MESH space -> BODY frame; compose with the
+        // body's own pos/quat (parsed just below into `pos`/`q`) for
+        // joint-frame points (matches xml_parser.py; in the reference dclaw
+        // assets body∘collision == identity).
         Vec3 cp = vec3_of(coll->attr("pos"), {0, 0, 0});
         Vec4 cq = quat_of(coll->attr("quat"));
         for (size_t i = 0; i + 2 < aux.raw_points.size(); i += 3) {
-          double out[3];
+          double out[3], out2[3];
           quat_rotate(cq, &aux.raw_points[i], out);
-          for (int k = 0; k < 3; k++) aux.raw_points[i + k] = out[k] + cp[k];
+          for (int k = 0; k < 3; k++) out[k] += cp[k];
+          quat_rotate(q, out, out2);
+          for (int k = 0; k < 3; k++) aux.raw_points[i + k] = out2[k] + pos[k];
         }
         aux.points_in_joint_frame = true;
       }
@@ -708,8 +714,19 @@ class Compiler {
           count++;
         }
     } else if (type == "abstract") {
-      Vec3 sp = vec3_of(el->attr("pos"), {0, 0, 0});
-      Vec4 sq = quat_of(el->attr("quat"));
+      // sensor pos/quat maps MESH-space spec coords -> BODY frame; compose
+      // with the owning body's pos/quat for joint-frame markers (matches
+      // xml_parser.py — body∘sensor == identity in the reference assets).
+      Vec3 sp0 = vec3_of(el->attr("pos"), {0, 0, 0});
+      Vec4 sq0 = quat_of(el->attr("quat"));
+      Vec4 bq = {m.body_quat[4 * b], m.body_quat[4 * b + 1],
+                 m.body_quat[4 * b + 2], m.body_quat[4 * b + 3]};
+      Vec3 bp = {m.body_pos[3 * b], m.body_pos[3 * b + 1],
+                 m.body_pos[3 * b + 2]};
+      Vec4 sq = quat_mul(bq, sq0);
+      double spr[3];
+      quat_rotate(bq, sp0.data(), spr);
+      Vec3 sp = {bp[0] + spr[0], bp[1] + spr[1], bp[2] + spr[2]};
       std::ifstream f(base_dir_ + "/" + *el->attr("spec"));
       if (!f) throw std::runtime_error("cannot open tactile spec");
       int n;

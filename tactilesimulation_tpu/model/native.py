@@ -25,7 +25,9 @@ _SO_PATH = os.path.join(_NATIVE_DIR, "build", "libtsim_model.so")
 
 def build_native(force: bool = False) -> str:
     """Compile the shared library (cmake + make) if needed."""
-    if os.path.exists(_SO_PATH) and not force:
+    src = os.path.join(_NATIVE_DIR, "model_compiler.cpp")
+    if (os.path.exists(_SO_PATH) and not force
+            and os.path.getmtime(_SO_PATH) >= os.path.getmtime(src)):
         return _SO_PATH
     build_dir = os.path.join(_NATIVE_DIR, "build")
     subprocess.run(["cmake", "-B", build_dir, "-S", _NATIVE_DIR,

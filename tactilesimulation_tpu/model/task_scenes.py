@@ -86,12 +86,16 @@ def tactile_push():
     b = SceneBuilder("wsg_50", integrator="BDF1", timestep=5e-3,
                      ground=(0, 0, 0))
     b.spec.solver_tol = 1e-8
-    # chord budget: with substep warm starts, 4 iterations match the
-    # reference-style budget of 10 to within contact-chaos noise — measured
-    # trajectory rel-RMSE vs a 30-iteration reference over H=50 is 0.27%
-    # at 4 iters and 0.73% at 10 (bench_solver_accuracy.py, f64); the cost
-    # of the implicit step is linear in this number
-    b.spec.solver_max_iter = 4
+    # chord budget: 6, from the round-3 multi-seed study
+    # (bench_solver_accuracy.py -> artifacts/SOLVER_ACCURACY_r03.jsonl, f64,
+    # 4 seeds, H=50): at 6 iterations trajectory rel-RMSE vs a 30-iteration
+    # reference is 0.06% mean and the BPTT control-gradient cosine vs the
+    # converged solver is 0.99998 (min 0.9999); at 4 the cosine drops to
+    # 0.976 mean / 0.905 min — below the >=0.999 fidelity bar. (The FD
+    # cross-check is chaos-noise-dominated at every budget incl. 10, so the
+    # converged-gradient cosine is the operative metric.) Step cost is
+    # linear in this number; bench.py --max-iter overrides it for A/B runs.
+    b.spec.solver_max_iter = 6
     pads = _wsg50_gripper(b, pusher_layout=True)
     (pad_body, pad_joint) = pads[0]
 

@@ -177,13 +177,18 @@ def parse_scene(path: str, mesh_fallback_extent: float = 0.04) -> SceneSpec:
                     _vec(el.get("axis0")), _vec(el.get("axis1")), rows, cols)
             elif el.get("type") == "abstract":
                 mk = assets.load_tactile_spec(os.path.join(base_dir, el.get("spec")))
-                # sensor pos/quat: mesh-space spec -> body/joint space
-                # (reference dclaw_position_control.xml:121-123)
+                # sensor pos/quat maps MESH-space spec coords into the BODY
+                # frame (reference dclaw_position_control.xml:121-123);
+                # compose with the owning body's pos/quat for joint-frame
+                # markers (body∘sensor == identity in the reference assets —
+                # see the matching note on <collision> parsing below).
+                bd = spec.bodies[body]
                 p = _vec(el.get("pos"), default=[0.0, 0.0, 0.0])
                 q = _quat(el.get("quat"))
-                R = _quat_to_mat_np(q)
+                R = _quat_to_mat_np(bd.quat) @ _quat_to_mat_np(q)
+                off = bd.pos + _quat_to_mat_np(bd.quat) @ p
                 mk = dict(mk)
-                mk["pos"] = mk["pos"] @ R.T + p
+                mk["pos"] = mk["pos"] @ R.T + off
                 for k in ("normal", "axis0", "axis1"):
                     mk[k] = mk[k] @ R.T
                 rows = int(mk["image_pos"][:, 0].max()) + 1
@@ -303,11 +308,16 @@ def _parse_body(spec, el, joint_idx, dflt, base_dir, mesh_fallback_extent):
             pts = assets.load_contact_points(os.path.join(base_dir, coll.get("contacts")))
             p = _vec(coll.get("pos"), default=[0.0, 0.0, 0.0])
             q = _quat(coll.get("quat"))
-            body.contact_points = pts @ _quat_to_mat_np(q).T + p
-            # collision transform maps mesh space into the *joint* frame for
-            # abstract bodies (dclaw_position_control.xml:20); points are later
-            # re-expressed in joint frame by the builder, so mark them as such
-            # by storing in joint frame directly: undo the body->joint offset.
+            # the collision pos/quat maps MESH space into the BODY frame;
+            # composing with the body's own pos/quat gives joint-frame points.
+            # (In dclaw_position_control.xml the composition body∘collision is
+            # exactly identity — the OBJ/contact coordinates are authored in
+            # the joint frame — verified numerically; treating the collision
+            # transform as mesh->joint instead puts the fingertip point cloud
+            # ~4 cm off, behind the joint.)
+            pts_body = pts @ _quat_to_mat_np(q).T + p
+            body.contact_points = (
+                pts_body @ _quat_to_mat_np(body.quat).T + body.pos)
             body.contact_points_in_joint_frame = True
     else:
         raise ValueError(f"unknown body type {btype!r}")

@@ -376,8 +376,261 @@ def _rotate_vjp(quat, xi, cot):
     return pullback(cot)[0]
 
 
+# ---------------------------------------------------------------------------
+# geometric velocity kinematics (analytic dof axes -> joint twists / wrenches)
+#
+# Why: PROFILE_r03.json showed the AD formulation of contact (jax.linearize
+# of FK for point velocities + jax.linear_transpose for J^T f) dominates the
+# substep (5.6 ms of 8.25 ms at B=1024, HBM-traffic-bound: the n-wide vmapped
+# tangent multiplies every (3, N, B) intermediate by n). Every joint type
+# reduces to per-dof world axes: translational dofs contribute w_k, rotational
+# dofs w_k x (x - c_k); summing per OWNING JOINT gives classic twists
+# (Omega_j, beta_j) and transposes to per-joint wrenches (F_j, tau_j) — so
+# point velocities and generalized contact forces need only (3, N, B) arrays
+# plus (·, J, B) reductions. Exact (not an approximation): pinned against the
+# AD formulation to round-off in tests/test_lanes.py.
+# ---------------------------------------------------------------------------
+
+def _dof_tables(struct: Structure):
+    """Static per-dof host tables: owning joint, ancestor masks."""
+    J, n = struct.njoints, struct.ndof_q
+    anc = np.zeros((J, J), bool)              # anc[a, j]: a ancestor-of/self j
+    for j in range(J):
+        a = j
+        while a >= 0:
+            anc[a, j] = True
+            a = struct.joint_parents[a]
+    tb = struct.fk_tables
+    dof_joint = np.full(n, -1, np.int64)
+    for j in range(J):
+        for i in range(3):
+            for d in (int(tb["trans_idx"][j, i]), int(tb["rot_idx"][j, i])):
+                if d != n:
+                    dof_joint[d] = j
+    anc_dof = anc[dof_joint]                  # (n, J)
+    return anc_dof
+
+
+def _jl_cols(r):
+    """Columns of the SO(3) left Jacobian at rotvec r (3, B) -> (3, 3, B):
+    col i = e_i + a (r x e_i) + b (r x (r x e_i)), the exact world-frame
+    rotation generator axes of exp-map dofs (R(r+d) ~ exp([Jl d]x) R(r))."""
+    th2 = jnp.sum(r * r, axis=0)
+    th = jnp.sqrt(th2 + _EPS)
+    small = th2 < 1e-8
+    safe2 = jnp.where(small, 1.0, th2)
+    a = jnp.where(small, 0.5 - th2 / 24.0, (1.0 - jnp.cos(th)) / safe2)
+    b = jnp.where(small, 1.0 / 6.0 - th2 / 120.0,
+                  (th - jnp.sin(th)) / (safe2 * th))
+    cols = []
+    for i in range(3):
+        e = jnp.zeros((3, 1), r.dtype).at[i, 0].set(1.0)
+        e = jnp.broadcast_to(e, r.shape)
+        rxe = cross(r, e)
+        cols.append(e + a * rxe + b * cross(r, rxe))
+    return jnp.stack(cols)                     # (col, 3, B)
+
+
+def dof_frames(struct: Structure, model: Model, q, jp, jq):
+    """Per-dof world rotation/translation axes.
+
+    Returns (w (3, n, B) axis, c (3, n, B) rotation origin — zeros for
+    translational dofs, rot_mask (n,) static numpy). jp/jq are fk_joints
+    outputs. Exact for all 7 joint types (revolute/prismatic/planar/
+    translational/fixed/free3d-exp/free3d-euler)."""
+    from ..model.schema import (JOINT_FREE3D_EULER, JOINT_FREE3D_EXP,
+                                JOINT_REVOLUTE)
+    tb = struct.fk_tables
+    dtype = q.dtype
+    B = q.shape[1]
+    n = struct.ndof_q
+    ident = jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype).reshape(4, 1)
+    jquat = _col(model.joint_quat, dtype)                    # (4, J, 1)
+    q_pad = jnp.concatenate([q, jnp.zeros((1, B), dtype)], axis=0)
+    zeros3 = jnp.zeros((3, B), dtype)
+    ws = [zeros3] * n
+    cs = [zeros3] * n
+    rot_mask = np.zeros(n)
+    for j in range(struct.njoints):
+        par = struct.joint_parents[j]
+        pq = jq[:, par] if par >= 0 else jnp.broadcast_to(ident, (4, B))
+        Fq = quat_mul(pq, jnp.broadcast_to(jquat[:, j], (4, B)))
+        for i in range(3):                     # translational dofs
+            d = int(tb["trans_idx"][j, i])
+            if d == n:
+                continue
+            bcol = jnp.asarray(np.asarray(tb["basis"])[j][:, i],
+                               dtype).reshape(3, 1)
+            ws[d] = quat_rotate(Fq, jnp.broadcast_to(bcol, (3, B)))
+        jt = struct.joint_types[j]
+        origin = jp[:, j]
+        if jt == JOINT_REVOLUTE:
+            d = int(tb["rot_idx"][j, 0])
+            ax = jnp.asarray(model.joint_axis0, dtype)[j].reshape(3, 1)
+            ws[d] = quat_rotate(Fq, jnp.broadcast_to(ax, (3, B)))
+            cs[d] = origin
+            rot_mask[d] = 1.0
+        elif jt == JOINT_FREE3D_EXP:
+            ridx = np.asarray(tb["rot_idx"][j])
+            r = q_pad[ridx]                    # (3, B)
+            cols = _jl_cols(r)                 # (col, 3, B)
+            for i in range(3):
+                d = int(ridx[i])
+                ws[d] = quat_rotate(Fq, cols[i])
+                cs[d] = origin
+                rot_mask[d] = 1.0
+        elif jt == JOINT_FREE3D_EULER:
+            ridx = np.asarray(tb["rot_idx"][j])
+            ex, ey = q_pad[int(ridx[0])], q_pad[int(ridx[1])]
+            cx, sx = jnp.cos(ex), jnp.sin(ex)
+            cy, sy = jnp.cos(ey), jnp.sin(ey)
+            zero = jnp.zeros_like(ex)
+            one = jnp.ones_like(ex)
+            # R = Rx(ex) Ry(ey) Rz(ez): generator axes x, Rx y, Rx Ry z
+            locals_ = (jnp.stack([one, zero, zero]),
+                       jnp.stack([zero, cx, sx]),
+                       jnp.stack([sy, -sx * cy, cx * cy]))
+            for i in range(3):
+                d = int(ridx[i])
+                ws[d] = quat_rotate(Fq, locals_[i])
+                cs[d] = origin
+                rot_mask[d] = 1.0
+    return jnp.stack(ws, axis=1), jnp.stack(cs, axis=1), rot_mask
+
+
+def joint_twists(struct: Structure, w, c, rot_mask, v):
+    """World twist of every joint frame: (Omega (3, J, B), beta (3, J, B))
+    with point velocity on joint j's subtree = Omega_j x X + beta_j."""
+    anc = jnp.asarray(_dof_tables(struct), w.dtype)          # (n, J)
+    rm = jnp.asarray(rot_mask, w.dtype).reshape(1, -1, 1)
+    wv = w * v[None]                                          # (3, n, B)
+    u = cross(w, c)                                           # w_k x c_k
+    omega_terms = rm * wv
+    beta_terms = (1.0 - rm) * wv - rm * (u * v[None])
+    Omega = jnp.einsum("cnb,nj->cjb", omega_terms, anc)
+    beta = jnp.einsum("cnb,nj->cjb", beta_terms, anc)
+    return Omega, beta
+
+
+def wrench_to_Q(struct: Structure, w, c, rot_mask, F, Tau):
+    """Generalized forces from per-joint world wrenches (force sum F (3,J,B),
+    torque-about-world-origin sum Tau (3,J,B)):
+    Q_k = sum_j anc[k,j] * (rot: w_k . Tau_j - (w_k x c_k) . F_j,
+                            trans: w_k . F_j)."""
+    anc = jnp.asarray(_dof_tables(struct), w.dtype)          # (n, J)
+    rm = jnp.asarray(rot_mask, w.dtype).reshape(-1, 1, 1)
+    u = cross(w, c)
+    wF = jnp.einsum("cnb,cjb->njb", w, F)
+    wT = jnp.einsum("cnb,cjb->njb", w, Tau)
+    uF = jnp.einsum("cnb,cjb->njb", u, F)
+    per = rm * (wT - uF) + (1.0 - rm) * wF                    # (n, J, B)
+    return jnp.einsum("njb,nj->nb", per, anc)
+
+
 def contact_terms(struct: Structure, model: Model, q, v):
-    """(Q (n, B), tac_force (3, Mtot, B) world marker forces)."""
+    """(Q (n, B), tac_force (3, Mtot, B) world marker forces).
+
+    Geometric-twist formulation (see block comment above): identical math to
+    ``contact_terms_ad`` — point velocities are exact FK derivatives, and Q
+    is the exact J^T f with force application points held fixed in their
+    body/joint frames (matching the reference's adjoint convention)."""
+    groups = struct.contact_groups
+    ntac = len(struct.tac_joint)
+    dtype = q.dtype
+    B = q.shape[1]
+    if not groups:
+        return jnp.zeros_like(q), jnp.zeros((3, ntac, B), dtype)
+
+    J = struct.njoints
+    jp, jq = fk_joints(struct, model, q)
+    bj = np.asarray(struct.body_joint)
+    bp, bquat = transform_compose(jp[:, bj], jq[:, bj],
+                                  _col(model.body_pos, dtype),
+                                  _col(model.body_quat, dtype))
+    bR = quat_to_mat(bquat)
+    pts_list = []
+    for arr, jidx in ((model.cp_pos, struct.cp_joint),
+                      (model.tac_pos, struct.tac_joint)):
+        if len(jidx) == 0:
+            pts_list.append(jnp.zeros((3, 0, B), dtype))
+        else:
+            idx = np.asarray(jidx)
+            pts_list.append(jp[:, idx] + quat_rotate(
+                jq[:, idx], jnp.asarray(arr, dtype).T[:, :, None]))
+    pts = jnp.concatenate(pts_list, axis=1)
+    pts_joint = np.concatenate([np.asarray(struct.cp_joint, np.int64),
+                                np.asarray(struct.tac_joint, np.int64)])
+
+    w, c, rot_mask = dof_frames(struct, model, q, jp, jq)
+    Omega, beta = joint_twists(struct, w, c, rot_mask, v)
+    params = contact.combined_params(model).astype(dtype)     # (K, 4)
+
+    F_acc = jnp.zeros((3, J, B), dtype)
+    Tau_acc = jnp.zeros((3, J, B), dtype)
+    tac_force = jnp.zeros((3, ntac + 1, B), dtype)
+
+    for g in groups:
+        if g.sphere_general:
+            gbody = np.asarray(g.point_idx)
+            x = bp[:, gbody]
+            gjoint = bj[gbody]
+        else:
+            pidx_pts = np.asarray(g.point_idx)
+            x = pts[:, pidx_pts]
+            gjoint = pts_joint[pidx_pts]
+        phi, nrm = _group_sdf(g, struct, model, x, bp, bR)
+        if g.sphere_general:
+            r = jnp.asarray(model.body_size, dtype)[np.asarray(g.point_idx), 0]
+            phi = phi - r[:, None]
+            x_eff = x - r[None, :, None] * nrm
+        else:
+            x_eff = x
+        v_pt = cross(Omega[:, gjoint], x_eff) + beta[:, gjoint]
+        if g.gtype == contact.GROUND:
+            v_rel = v_pt
+        else:
+            pj = bj[np.asarray(g.prim_body)]
+            v_prim = cross(Omega[:, pj], x_eff) + beta[:, pj]
+            v_rel = v_pt - v_prim
+        prm = params[np.asarray(g.param_idx)].T[:, :, None]   # (4, N, 1)
+        f = _penalty_force(phi, nrm, v_rel, prm)
+
+        # tactile rows (world marker forces for the sensor query)
+        rows = np.asarray(g.tac_row) + 1
+        mask = jnp.asarray([1.0 if rr >= 0 else 0.0 for rr in g.tac_row],
+                           dtype)[None, :, None]
+        tac_force = tac_force.at[:, rows].add(f * mask)
+
+        # wrench accumulation: +f at x_app on the general side, -f on the
+        # primitive side. Application points are held FIXED in their local
+        # frames under differentiation (stop_gradient on the local coords) —
+        # the exact convention of contact_terms_ad / dynamics.contact_terms,
+        # so chord iterates and IFT gradients match the oracle to round-off.
+        if g.sphere_general:
+            qg = bquat[:, gbody]
+            xi_g = jax.lax.stop_gradient(
+                quat_rotate(quat_conj(qg), x_eff - x))
+            x_app_g = x + quat_rotate(qg, xi_g)
+        else:
+            x_app_g = x                       # FK point; local coords constant
+        F_acc = F_acc.at[:, gjoint].add(f)
+        Tau_acc = Tau_acc.at[:, gjoint].add(cross(x_app_g, f))
+        if g.gtype != contact.GROUND:
+            pb_idx = np.asarray(g.prim_body)
+            qp = bquat[:, pb_idx]
+            xi_p = jax.lax.stop_gradient(
+                quat_rotate(quat_conj(qp), x_eff - bp[:, pb_idx]))
+            x_app_p = bp[:, pb_idx] + quat_rotate(qp, xi_p)
+            F_acc = F_acc.at[:, pj].add(-f)
+            Tau_acc = Tau_acc.at[:, pj].add(cross(x_app_p, -f))
+
+    Q = wrench_to_Q(struct, w, c, rot_mask, F_acc, Tau_acc)
+    return Q, tac_force[:, 1:]
+
+
+def contact_terms_ad(struct: Structure, model: Model, q, v):
+    """AD (linearize + linear_transpose) formulation — the original hot path,
+    kept as the parity oracle for ``contact_terms`` (tests/test_lanes.py)."""
     groups = struct.contact_groups
     ntac = len(struct.tac_joint)
     dtype = q.dtype

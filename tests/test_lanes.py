@@ -151,6 +151,57 @@ def test_step_parity_batched_model():
                                np.asarray(out_ref.qdot), rtol=1e-8, atol=1e-8)
 
 
+@pytest.mark.parametrize("scene", ["push", "ball", "grasp"])
+def test_geometric_contact_matches_ad(scene):
+    """The geometric-twist contact formulation (lanes.contact_terms) must
+    equal the AD linearize/transpose oracle (lanes.contact_terms_ad) in value
+    AND in (q, v) derivatives — covering revolute/planar/translational
+    (push), free3d-exp + analytic sphere (ball), and free3d-euler +
+    prismatic (grasp)."""
+    if scene == "push":
+        struct, model = task_scenes.tactile_push()
+        dq = 0.02
+    elif scene == "ball":
+        struct, model = task_scenes.rolling_ball(resolution=8)
+        dq = 0.0005
+    else:
+        struct, model = task_scenes.stable_grasp()
+        dq = 0.005
+    rng = np.random.default_rng(11)
+    n = struct.ndof_q
+    q = (model.q_init[:, None]
+         + jnp.asarray(rng.normal(scale=dq, size=(n, B))))
+    if scene == "ball":
+        q = q.at[2].add(-0.0165)   # push the pad into the ball (see below)
+    v = jnp.asarray(rng.normal(scale=0.1, size=(n, B)))
+
+    Q_new, tac_new = lanes.contact_terms(struct, model, q, v)
+    Q_ad, tac_ad = lanes.contact_terms_ad(struct, model, q, v)
+    assert float(jnp.max(jnp.abs(Q_ad))) > 0, "no active contact in fixture"
+    np.testing.assert_allclose(np.asarray(Q_new), np.asarray(Q_ad),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(tac_new), np.asarray(tac_ad),
+                               rtol=1e-8, atol=1e-12)
+
+    # derivative parity (what the chord matrix and IFT backward consume)
+    def sum_new(qq, vv):
+        return jnp.sum(lanes.contact_terms(struct, model, qq, vv)[0] ** 2)
+
+    def sum_ad(qq, vv):
+        return jnp.sum(lanes.contact_terms_ad(struct, model, qq, vv)[0] ** 2)
+
+    gq_new, gv_new = jax.grad(sum_new, argnums=(0, 1))(q, v)
+    gq_ad, gv_ad = jax.grad(sum_ad, argnums=(0, 1))(q, v)
+    scale = float(jnp.max(jnp.abs(gq_ad))) + 1e-30
+    np.testing.assert_allclose(np.asarray(gq_new) / scale,
+                               np.asarray(gq_ad) / scale,
+                               rtol=1e-7, atol=1e-9)
+    scale = float(jnp.max(jnp.abs(gv_ad))) + 1e-30
+    np.testing.assert_allclose(np.asarray(gv_new) / scale,
+                               np.asarray(gv_ad) / scale,
+                               rtol=1e-7, atol=1e-9)
+
+
 def test_tactile_field_parity():
     from tactilesimulation_tpu.sim import dynamics
     struct, model = task_scenes.rolling_ball(resolution=8)
