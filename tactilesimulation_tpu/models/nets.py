@@ -90,8 +90,8 @@ class DiagGaussianActor(nn.Module):
         mean = nn.Dense(self.action_dim)(feat)
         logstd = self.param(
             "logstd",
-            lambda _k, shape: jnp.full(shape, self.cfg.get(
-                "actor_logstd_init", -1.0)), (self.action_dim,))
+            lambda _k, shape: jnp.full(shape, float(self.cfg.get(
+                "actor_logstd_init", -1.0))), (self.action_dim,))
         return DiagGaussianDist(mean, logstd)
 
     def act(self, obs, key=None, deterministic=True):
@@ -115,8 +115,8 @@ class CNNActor(nn.Module):
         mean = nn.Dense(self.action_dim)(feat)
         logstd = self.param(
             "logstd",
-            lambda _k, shape: jnp.full(shape, self.cfg.get(
-                "actor_logstd_init", -1.0)), (self.action_dim,))
+            lambda _k, shape: jnp.full(shape, float(self.cfg.get(
+                "actor_logstd_init", -1.0))), (self.action_dim,))
         return DiagGaussianDist(mean, logstd)
 
     def act(self, obs, key=None, deterministic=True):

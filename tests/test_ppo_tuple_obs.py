@@ -38,6 +38,21 @@ def test_rms_tree_helpers_match_numpy():
     assert all(np.all(np.abs(np.asarray(x)) <= 10.0) for x in normed)
 
 
+def test_int_logstd_init_yields_float_param():
+    """YAML configs write ``actor_logstd_init: 0`` (int) — the reference
+    ppo_tactile.yaml does exactly this; the param must still be
+    differentiable (float), or PPO's value_and_grad dies with an int32
+    input error (hit on the first real TactilePush PPO run)."""
+    from tactilesimulation_tpu.models import nets
+    cfg = {"actor_mlp": {"layer_sizes": [8], "activation": "elu"},
+           "actor_logstd_init": 0,
+           "critic_mlp": {"layer_sizes": [8], "activation": "elu"}}
+    ac = nets.ActorCritic(2, cfg)
+    params = ac.init(jax.random.PRNGKey(0), jnp.zeros(3))
+    logstd = params["params"]["actor"]["logstd"]
+    assert jnp.issubdtype(logstd.dtype, jnp.floating), logstd.dtype
+
+
 class _TupleObsEnv:
     """Pendulum with obs re-emitted as an (image, state) tuple — the
     tactile_map observation contract (envs/tactile_push.py:95)."""
