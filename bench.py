@@ -93,13 +93,19 @@ def main():
             lenv._step_sim = lanes.build_step(env.struct)
 
         def batch_loss(us_batch, keys):
-            """us_batch (H, B, ndof_u): whole batch stepped lane-major."""
+            """us_batch (H, B, ndof_u): whole batch stepped lane-major.
+
+            The per-step observation feeds the loss with a tiny weight so
+            XLA cannot dead-code-eliminate the observation path — with
+            --obs tactile_flatten this forces the dense marker-field query
+            (and its gradient) into every step, the GD-trainer workload."""
             state, obs = lenv.reset(keys)
 
             def body(carry, u):
                 st, _ = carry
                 st, obs, r, d, info = lenv.step(st, u)
-                return (st, obs), r
+                obs_term = sum(jnp.sum(o ** 2) for o in jax.tree.leaves(obs))
+                return (st, obs), r + 1e-12 * obs_term
 
             if args.remat:
                 body = jax.checkpoint(body)
