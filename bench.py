@@ -41,6 +41,12 @@ def main():
                          "HBM-bound — and faults the device at B=4096")
     ap.add_argument("--max-iter", type=int, default=0,
                     help="override the scene's Newton/chord iteration count")
+    ap.add_argument("--refresh", type=int, default=0,
+                    help="chord-LU refresh period in substeps (0 = once per "
+                         "env step — the amortized default; 1 = per substep)")
+    ap.add_argument("--bwd", default="stale", choices=("stale", "exact"),
+                    help="IFT adjoint Jacobian: reuse the forward chord LU "
+                         "('stale', default) or rebuild at the solution")
     ap.add_argument("--unroll", type=int, default=1,
                     help="substep-loop unroll factor (1..frame_skip)")
     ap.add_argument("--vmap", action="store_true",
@@ -87,10 +93,9 @@ def main():
             return jnp.mean(jax.vmap(rollout_reward)(us_batch, keys))
     else:
         lenv = env.lane_env()
-        if args.max_iter:
-            from tactilesimulation_tpu.sim import lanes
-            lenv.struct = env.struct
-            lenv._step_sim = lanes.build_step(env.struct)
+        lenv.struct = env.struct
+        lenv.rebuild_solver(refresh=args.refresh, bwd_mode=args.bwd,
+                            max_iter=args.max_iter)
 
         def batch_loss(us_batch, keys):
             """us_batch (H, B, ndof_u): whole batch stepped lane-major.

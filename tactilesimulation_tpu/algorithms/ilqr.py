@@ -67,10 +67,10 @@ class ILQROptimizer:
         ns = 4 * n
         alphas = jnp.asarray(alphas)
 
-        def f(s, u, t):
+        def f(model, s, u, t):
             if u_bounds is not None:
                 u = jnp.clip(u, u_bounds[0], u_bounds[1])
-            return _pack(step(simulator.model, _unpack(s, n, t), u))
+            return _pack(step(model, _unpack(s, n, t), u))
 
         def c(s, u, t):
             if u_bounds is not None:
@@ -86,7 +86,7 @@ class ILQROptimizer:
             def body(carry, xs):
                 s, = carry
                 u, idx = xs
-                s2 = f(s, u, t0 + idx)
+                s2 = f(model, s, u, t0 + idx)
                 return (s2,), (s2, c(s, u, t0 + idx))
 
             idxs = jnp.arange(us.shape[0])
@@ -94,9 +94,9 @@ class ILQROptimizer:
             total = jnp.sum(costs) + cf(sH, t0 + us.shape[0])
             return ss, total
 
-        def derivs(s, u, t):
-            A = jax.jacrev(f, argnums=0)(s, u, t)          # (ns, ns)
-            B = jax.jacrev(f, argnums=1)(s, u, t)          # (ns, nu)
+        def derivs(model, s, u, t):
+            A = jax.jacrev(f, argnums=1)(model, s, u, t)   # (ns, ns)
+            B = jax.jacrev(f, argnums=2)(model, s, u, t)   # (ns, nu)
             cx = jax.grad(c, argnums=0)(s, u, t)
             cu = jax.grad(c, argnums=1)(s, u, t)
             cxx = jax.hessian(c, argnums=0)(s, u, t)
@@ -133,7 +133,7 @@ class ILQROptimizer:
                 s, = carry
                 u_nom, s_nom, k, K, idx = xs
                 u = u_nom + alpha * k + K @ (s - s_nom)
-                s2 = f(s, u, t0 + idx)
+                s2 = f(model, s, u, t0 + idx)
                 return (s2,), (u, c(s, u, t0 + idx))
 
             idxs = jnp.arange(us.shape[0])
@@ -153,7 +153,8 @@ class ILQROptimizer:
                 s_noms = jnp.concatenate([s0[None], ss[:-1]], axis=0)
                 idxs = jnp.arange(us.shape[0])
                 A, B, cx, cu, cxx, cuu, cux = jax.vmap(
-                    derivs, in_axes=(0, 0, 0))(s_noms, us, t0 + idxs)
+                    derivs, in_axes=(None, 0, 0, 0))(model, s_noms, us,
+                                                     t0 + idxs)
                 VxH = jax.grad(cf, argnums=0)(ss[-1], t0 + us.shape[0])
                 VxxH = jax.hessian(cf, argnums=0)(ss[-1], t0 + us.shape[0])
                 ks, Ks = backward(A, B, cx, cu, cxx, cuu, cux, VxH, VxxH, mu)

@@ -60,7 +60,13 @@ class GymEnv:
         """
         from ..utils import renderer
         env = self.env
-        model = getattr(self._state, "model_var", None) or env.model
+        # render with the effective per-episode model: envs with domain
+        # randomization rebuild it from the episode extras (_model_for);
+        # others draw the nominal model
+        if hasattr(env, "_model_for") and self._state is not None:
+            model = env._model_for(self._state.extras)
+        else:
+            model = env.model
         if mode == "record" and len(getattr(self, "_traj", [])) > 1:
             return renderer.render_trajectory(
                 env.struct, model, np.stack(self._traj), record_path)

@@ -43,7 +43,8 @@ class TactilePushLanes:
         step(state, u (B, 3))     -> (state', obs, reward (B,), done, info)
     """
 
-    def __init__(self, env: TactilePushEnv):
+    def __init__(self, env: TactilePushEnv, *, solver_refresh: int = 0,
+                 solver_bwd: str = "stale", max_iter: int = 0):
         self.env = env
         self.struct = env.struct
         self.model = env.model
@@ -54,6 +55,35 @@ class TactilePushLanes:
         self.substep_unroll = env.substep_unroll
         self.ndof_u = env.ndof_u
         self.max_episode_steps = env.max_episode_steps
+        self.rebuild_solver(refresh=solver_refresh, bwd_mode=solver_bwd,
+                            max_iter=max_iter)
+
+    def rebuild_solver(self, *, refresh: int = 0, bwd_mode: str = "stale",
+                       max_iter: int = 0, fused="auto"):
+        """(Re)build the fused frame_skip sim step.
+
+        Defaults: chord LU amortized across the whole env step (refresh=0)
+        with the stale-LU IFT adjoint — the shipped configuration from the
+        round-4 accuracy study (artifacts/SOLVER_ACCURACY_r04.jsonl: BPTT
+        control-gradient cosine vs the converged refresh-1/exact solver
+        stays >= 0.999 at the scene budget). ``refresh=1, bwd_mode='exact'``
+        reproduces scan-of-build_step exactly (parity tests). ``fused``
+        routes the contact chain through the Pallas pair-wrench kernel
+        (auto: on TPU only)."""
+        import jax as _jax
+        self.solver_refresh = refresh
+        self.solver_bwd = bwd_mode
+        if fused == "auto":
+            fused = _jax.default_backend() == "tpu"
+        self._pw = None
+        if fused:
+            from ..ops import lane_contact
+            pw, meta = lane_contact.make_pair_wrenches(self.struct)
+            if pw is not None:
+                self._pw = (pw, meta)
+        self._multi_step = lanes.build_env_step(
+            self.struct, self.frame_skip, refresh=refresh, bwd_mode=bwd_mode,
+            max_iter=max_iter, fused_pw=self._pw)
 
     # -- reset: per-episode randomization is once-per-rollout, so vmap of the
     # single-instance reset is fine; convert to lane layout after.
@@ -117,13 +147,15 @@ class TactilePushLanes:
         robot_action = jnp.concatenate(
             [action, force, jnp.zeros((1, B), dtype)], axis=0)  # (6, B)
 
-        sim_state, _ = jax.lax.scan(
-            lambda s, _: (self._step_sim(model, s, robot_action), None),
-            state.sim, None, length=self.frame_skip,
-            unroll=self.substep_unroll)
+        sim_state = self._multi_step(model, state.sim, robot_action)
         q = sim_state.q
         if self._needs_tactile:
-            tac = lanes.tactile_field(self.struct, model, q, sim_state.qdot)
+            if self._pw is not None:
+                tac = lanes.tactile_field_fused(self.struct, model, q,
+                                                sim_state.qdot, *self._pw)
+            else:
+                tac = lanes.tactile_field(self.struct, model, q,
+                                          sim_state.qdot)
             tactile = tac.reshape(-1, B)                     # (M*3, B)
         else:
             tactile = state.tactile

@@ -63,14 +63,21 @@ def _ridged(J):
         n, dtype=J.dtype)
 
 
-def make_residual(struct: Structure):
+def make_residual(struct: Structure, points_major: bool = False):
+    """``points_major`` evaluates contact in the (3, N) points-in-lanes
+    layout (sim/dense_single.py) — the dense-marker-field hot path."""
     def residual(v_new, inputs: StepInputs):
         qn = inputs.q_base + inputs.gamma * v_new
         # one reverse pass: dL/dq = dT/dq - dV/dq (Coriolis + gravity),
         # dL/dv = momentum
         dLdq, p_new = dynamics.el_terms(struct, inputs.model, qn, v_new)
-        Q, _ = dynamics.applied_forces(
-            struct, inputs.model, qn, v_new, inputs.u)
+        if points_major:
+            from . import dense_single
+            Q, _ = dense_single.applied_forces_points_major(
+                struct, inputs.model, qn, v_new, inputs.u)
+        else:
+            Q, _ = dynamics.applied_forces(
+                struct, inputs.model, qn, v_new, inputs.u)
         return p_new - inputs.p_base - inputs.gamma * (dLdq + Q)
     return residual
 
@@ -145,12 +152,14 @@ def _newton_bwd(residual_fn, max_iter, tol, res, g):
 newton_solve.defvjp(_newton_fwd, _newton_bwd)
 
 
-def build_step(struct: Structure):
+def build_step(struct: Structure, points_major: bool = False):
     """Returns step(model, state, u) -> (state', tactile_force_world (Mtot,3)).
 
     The tactile field is evaluated at the new state (the reference queries
-    ``get_tactile_force_vector`` after ``forward``, test_sim_speed.py:80)."""
-    residual_fn = make_residual(struct)
+    ``get_tactile_force_vector`` after ``forward``, test_sim_speed.py:80).
+    ``points_major`` routes contact through the (3, N) lane-efficient layout
+    (dense marker scenes — see sim/dense_single.py)."""
+    residual_fn = make_residual(struct, points_major=points_major)
     max_iter = struct.solver_max_iter
     use_bdf2 = struct.integrator.upper() == "BDF2"
 

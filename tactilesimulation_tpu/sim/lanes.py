@@ -708,6 +708,103 @@ def contact_terms_ad(struct: Structure, model: Model, q, v):
     return Q, tac_force
 
 
+def _sphere_group_wrenches(struct, model, g, bp, bquat, bR, Omega, beta,
+                           params, F_acc, Tau_acc):
+    """Analytic sphere-center contact contributions (jnp — a handful of
+    points; shared by contact_terms and the fused path)."""
+    dtype = bp.dtype
+    bj = np.asarray(struct.body_joint)
+    gbody = np.asarray(g.point_idx)
+    x = bp[:, gbody]
+    gjoint = bj[gbody]
+    phi, nrm = _group_sdf(g, struct, model, x, bp, bR)
+    r = jnp.asarray(model.body_size, dtype)[gbody, 0]
+    phi = phi - r[:, None]
+    x_eff = x - r[None, :, None] * nrm
+    v_pt = cross(Omega[:, gjoint], x_eff) + beta[:, gjoint]
+    if g.gtype == contact.GROUND:
+        v_rel = v_pt
+    else:
+        pj = bj[np.asarray(g.prim_body)]
+        v_prim = cross(Omega[:, pj], x_eff) + beta[:, pj]
+        v_rel = v_pt - v_prim
+    prm = params[np.asarray(g.param_idx)].T[:, :, None]
+    f = _penalty_force(phi, nrm, v_rel, prm)
+    qg = bquat[:, gbody]
+    xi_g = jax.lax.stop_gradient(quat_rotate(quat_conj(qg), x_eff - x))
+    x_app_g = x + quat_rotate(qg, xi_g)
+    F_acc = F_acc.at[:, gjoint].add(f)
+    Tau_acc = Tau_acc.at[:, gjoint].add(cross(x_app_g, f))
+    if g.gtype != contact.GROUND:
+        pb_idx = np.asarray(g.prim_body)
+        pj = bj[pb_idx]
+        qp = bquat[:, pb_idx]
+        xi_p = jax.lax.stop_gradient(
+            quat_rotate(quat_conj(qp), x_eff - bp[:, pb_idx]))
+        x_app_p = bp[:, pb_idx] + quat_rotate(qp, xi_p)
+        F_acc = F_acc.at[:, pj].add(-f)
+        Tau_acc = Tau_acc.at[:, pj].add(cross(x_app_p, -f))
+    return F_acc, Tau_acc
+
+
+def _fused_small_stage(struct, model, q, v):
+    """Joint frames, body poses, dof axes, twists — the small-array stage
+    shared by the fused contact paths."""
+    dtype = q.dtype
+    jp, jq = fk_joints(struct, model, q)
+    bj = np.asarray(struct.body_joint)
+    bp, bquat = transform_compose(jp[:, bj], jq[:, bj],
+                                  _col(model.body_pos, dtype),
+                                  _col(model.body_quat, dtype))
+    w, c, rot_mask = dof_frames(struct, model, q, jp, jq)
+    Omega, beta = joint_twists(struct, w, c, rot_mask, v)
+    return jp, jq, bp, bquat, w, c, rot_mask, Omega, beta
+
+
+def contact_terms_fused(struct: Structure, model: Model, q, v, pw, pw_meta):
+    """contact_terms with the heavy per-point pipeline in the fused Pallas
+    pair-wrench kernel (ops/lane_contact.py); sphere_general groups stay
+    jnp. Differentiation goes through the kernel's custom VJP (jnp twin) —
+    same conventions, pinned by tests/test_lane_contact.py."""
+    from ..ops import lane_contact
+    segments, n_rows, src_idx, packed_rows = pw_meta
+    dtype = q.dtype
+    B = q.shape[1]
+    ntac = len(struct.tac_joint)
+    jp, jq, bp, bquat, w, c, rot_mask, Omega, beta = _fused_small_stage(
+        struct, model, q, v)
+    params = contact.combined_params(model).astype(dtype)
+    xi_packed = lane_contact.pack_points(struct, model, src_idx)
+    F, Tau, tac = pw(jp, jq, Omega, beta, bp, bquat,
+                     jnp.asarray(model.body_size, dtype), params,
+                     jnp.asarray(model.ground_pos, dtype),
+                     jnp.asarray(model.ground_normal, dtype),
+                     xi_packed.astype(dtype))
+    sphere_groups = [g for g in struct.contact_groups if g.sphere_general]
+    if sphere_groups:
+        bR = quat_to_mat(bquat)
+        for g in sphere_groups:
+            F, Tau = _sphere_group_wrenches(struct, model, g, bp, bquat, bR,
+                                            Omega, beta, params, F, Tau)
+    Q = wrench_to_Q(struct, w, c, rot_mask, F, Tau)
+    return Q, tac
+
+
+def tactile_field_fused(struct: Structure, model: Model, q, v, pw, pw_meta):
+    """(Mtot, 3, B) sensor-frame marker forces via the fused kernel."""
+    _, tac_force = contact_terms_fused(struct, model, q, v, pw, pw_meta)
+    jp, jq = fk_joints(struct, model, q)
+    idx = np.asarray(struct.tac_joint)
+    qw = jq[:, idx]
+    dtype = q.dtype
+    n_w = quat_rotate(qw, jnp.asarray(model.tac_normal, dtype).T[:, :, None])
+    a0_w = quat_rotate(qw, jnp.asarray(model.tac_axis0, dtype).T[:, :, None])
+    a1_w = quat_rotate(qw, jnp.asarray(model.tac_axis1, dtype).T[:, :, None])
+    return jnp.stack([jnp.sum(tac_force * a0_w, axis=0),
+                      jnp.sum(tac_force * a1_w, axis=0),
+                      jnp.sum(tac_force * n_w, axis=0)], axis=1)
+
+
 def applied_forces(struct: Structure, model: Model, q, v, u):
     Q_contact, tac_force = contact_terms(struct, model, q, v)
     Q = (joint_spring_forces(model, q, v)
@@ -765,6 +862,26 @@ def gauss_solve(lu, b):
     return jnp.stack(x)
 
 
+def gauss_solve_T(lu, b):
+    """Solve A^T x = b with gauss_factor(A) output (A = L U, unit-lower L):
+    forward substitution with U^T (lower, diag U_ii), then back substitution
+    with L^T (unit upper). Used by the stale-LU IFT adjoint."""
+    n = lu.shape[0]
+    y = [None] * n
+    for i in range(n):
+        acc = b[i]
+        for j in range(i):
+            acc = acc - lu[j, i] * y[j]
+        y[i] = acc / lu[i, i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        acc = y[i]
+        for j in range(i + 1, n):
+            acc = acc - lu[j, i] * x[j]
+        x[i] = acc
+    return jnp.stack(x)
+
+
 # ---------------------------------------------------------------------------
 # implicit stepper  (mirrors integrators.py, batch-last)
 # ---------------------------------------------------------------------------
@@ -785,11 +902,20 @@ class LaneSimState(NamedTuple):
     t: jnp.ndarray        # (B,) int32
 
 
-def make_residual(struct: Structure):
+def make_residual(struct: Structure, fused_pw=None):
+    """``fused_pw = (pw, pw_meta)`` routes the contact chain through the
+    fused Pallas pair-wrench kernel (ops/lane_contact.py)."""
     def residual(v_new, inputs: StepInputs):
         qn = inputs.q_base + inputs.gamma * v_new
         dLdq, p_new = el_terms_pair(struct, inputs.model, qn, v_new)
-        Q, _ = applied_forces(struct, inputs.model, qn, v_new, inputs.u)
+        if fused_pw is not None:
+            Qc, _ = contact_terms_fused(struct, inputs.model, qn, v_new,
+                                        *fused_pw)
+            Q = (joint_spring_forces(inputs.model, qn, v_new)
+                 + motor_forces(struct, inputs.model, qn, v_new, inputs.u)
+                 + Qc)
+        else:
+            Q, _ = applied_forces(struct, inputs.model, qn, v_new, inputs.u)
         return p_new - inputs.p_base - inputs.gamma * (dLdq + Q)
     return residual
 
@@ -874,6 +1000,182 @@ def _newton_bwd(residual_fn, max_iter, tol, res, g):
 
 
 newton_solve.defvjp(_newton_fwd, _newton_bwd)
+
+
+# ---------------------------------------------------------------------------
+# amortized-chord stepper: linearize + LU-factor ONCE per env step (frame_skip
+# substeps), reuse the factor for every chord iteration of every substep.
+#
+# Why: PROFILE_r03.json — at B=1024 the per-substep jacobian_linearize is
+# 2.63 ms, the single largest line of the 5.78 ms forward substep. The chord
+# premise already accepts a stale Jacobian within a substep; over one env
+# step (5 substeps, h=5e-3) the state drifts by ~h*v per substep, so the
+# factor stays a valid chord preconditioner. Best-iterate tracking guards the
+# occasional contact-switch substep; accuracy is pinned by
+# bench_solver_accuracy.py --refresh (artifacts/SOLVER_ACCURACY_r04.jsonl).
+# ---------------------------------------------------------------------------
+
+
+def make_chord_lu(residual_fn, inputs: StepInputs, v_guess,
+                  reverse: bool = False):
+    """Linearize the residual at (inputs, v_guess) and LU-factor the ridge-
+    guarded Jacobian. stop_gradient'd: the factor is a solver ingredient, not
+    a differentiated quantity (the IFT adjoint owns gradient exactness).
+
+    ``reverse`` builds J from vmapped VJP pullbacks instead of jax.linearize
+    — required when the residual contains custom_vjp ops (the fused Pallas
+    contact kernel blocks forward-mode)."""
+    inputs = jax.lax.stop_gradient(inputs)
+    v_guess = jax.lax.stop_gradient(v_guess)
+    n = v_guess.shape[0]
+    basis = jnp.broadcast_to(jnp.eye(n, dtype=v_guess.dtype)[:, :, None],
+                             (n,) + v_guess.shape)
+    if reverse:
+        _, pullback = jax.vjp(lambda vv: residual_fn(vv, inputs), v_guess)
+        J = jax.vmap(lambda cot: pullback(cot)[0])(basis)  # row i = J[i, :]
+    else:
+        _, lin = jax.linearize(lambda vv: residual_fn(vv, inputs), v_guess)
+        Jcols = jax.vmap(lin)(basis)
+        J = jnp.swapaxes(Jcols, 0, 1)
+    return gauss_factor(_ridge(J))
+
+
+def _chord(residual_fn, max_iter, tol, inputs, v_guess, lu):
+    """Chord iteration with a PROVIDED LU factor (cf. _newton, which
+    linearizes itself). One extra residual eval for r0."""
+    dtype = v_guess.dtype
+    rel = 1e-4 if dtype == jnp.float32 else 1e-7
+    r0 = residual_fn(v_guess, inputs)
+    rn0 = jnp.sqrt(jnp.sum(r0 * r0, axis=0))
+    tol_eff = jnp.maximum(jnp.asarray(tol, dtype), rel * rn0)
+
+    def body(i, carry):
+        v, r, rn, v_best, rn_best = carry
+        dv = gauss_solve(lu, r)
+        v2 = jnp.where(rn <= tol_eff, v, v - dv)
+        r2 = residual_fn(v2, inputs)
+        rn2 = jnp.sqrt(jnp.sum(r2 * r2, axis=0))
+        better = rn2 < rn_best
+        v_best = jnp.where(better, v2, v_best)
+        rn_best = jnp.where(better, rn2, rn_best)
+        return v2, r2, rn2, v_best, rn_best
+
+    carry = (v_guess, r0, rn0, v_guess, rn0)
+    *_, v_best, _ = jax.lax.fori_loop(0, max_iter, body, carry)
+    return v_best
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def chord_solve(residual_fn, max_iter, tol, bwd_mode, inputs: StepInputs,
+                v_guess, lu):
+    return _chord(residual_fn, max_iter, tol, inputs, v_guess, lu)
+
+
+def _chord_fwd(residual_fn, max_iter, tol, bwd_mode, inputs, v_guess, lu):
+    v_star = _chord(residual_fn, max_iter, tol, inputs, v_guess, lu)
+    return v_star, (inputs, v_star, lu)
+
+
+def _chord_bwd(residual_fn, max_iter, tol, bwd_mode, res, g):
+    """IFT adjoint. bwd_mode:
+      'exact' — rebuild J^T at the converged iterate (gradient-exact given a
+                converged forward solve; cf. _newton_bwd);
+      'stale' — reuse the forward chord LU transposed (saves the 2.6 ms
+                Jacobian rebuild; gradient error is the same class as the
+                chord truncation error — pinned by the --refresh accuracy
+                study)."""
+    inputs, v_star, lu = res
+    _, pullback = jax.vjp(residual_fn, v_star, inputs)
+    if bwd_mode == "stale":
+        lam = gauss_solve_T(lu, g)
+    else:
+        n = v_star.shape[0]
+        cots = jnp.broadcast_to(
+            jnp.eye(n, dtype=v_star.dtype)[:, :, None],
+            (n,) + v_star.shape)
+        J = jax.vmap(lambda c: pullback(c)[0])(cots)
+        JT = jnp.swapaxes(J, 0, 1)
+        lam = gauss_solve(gauss_factor(_ridge(JT)), g)
+    inputs_bar = pullback(-lam)[1]
+    return inputs_bar, jnp.zeros_like(v_star), jnp.zeros_like(lu)
+
+
+chord_solve.defvjp(_chord_fwd, _chord_bwd)
+
+
+def build_env_step(struct: Structure, frame_skip: int, *, refresh: int = 0,
+                   bwd_mode: str = "exact", max_iter: int = 0,
+                   fused_pw=None):
+    """Fused frame_skip-substep sim step with chord-LU amortization.
+
+    env_step(model, state, u) advances ``frame_skip`` implicit substeps under
+    one held control. The chord Jacobian is linearized + factored every
+    ``refresh`` substeps (0 => once per env step — the amortized default;
+    1 => per substep, matching scan of build_step exactly when
+    bwd_mode='exact'). ``max_iter`` overrides the scene's chord budget.
+    ``fused_pw = (pw, meta)`` from ops.lane_contact.make_pair_wrenches routes
+    the contact chain through the fused Pallas kernel.
+    """
+    residual_fn = make_residual(struct, fused_pw)
+    miter = max_iter or struct.solver_max_iter
+    use_bdf2 = struct.integrator.upper() == "BDF2"
+    refresh = refresh or frame_skip
+    reverse_lu = fused_pw is not None
+
+    def bases(model, state, h, dtype):
+        p_now = momentum(struct, model, state.q, state.qdot)
+        if use_bdf2:
+            first = (state.t == 0)[None]
+            p_prev = momentum(struct, model, state.q_prev, state.qdot_prev)
+            gamma = jnp.where(first, h, 2.0 * h / 3.0).astype(dtype)
+            q_base = jnp.where(first, state.q,
+                               (4.0 * state.q - state.q_prev) / 3.0)
+            p_base = jnp.where(first, p_now, (4.0 * p_now - p_prev) / 3.0)
+        else:
+            gamma = jnp.full((1, 1), h, dtype)
+            q_base, p_base = state.q, p_now
+        return gamma, q_base, p_base
+
+    def env_step(model: Model, state: LaneSimState, u):
+        h = model.h
+        dtype = state.q.dtype
+        tol = max(struct.solver_tol, 1e-7 if dtype == jnp.float32 else 1e-12)
+        u = jnp.asarray(u, dtype)
+
+        def substep(state, lu, with_lu):
+            gamma, q_base, p_base = bases(model, state, h, dtype)
+            inputs = StepInputs(model=model, u=u, q_base=q_base,
+                                p_base=p_base, gamma=gamma)
+            if with_lu:
+                lu = make_chord_lu(residual_fn, inputs, state.qdot,
+                                   reverse=reverse_lu)
+            v_new = chord_solve(residual_fn, miter, tol, bwd_mode,
+                                inputs, state.qdot, lu)
+            q_new = q_base + gamma * v_new
+            return LaneSimState(q=q_new, qdot=v_new, q_prev=state.q,
+                                qdot_prev=state.qdot, t=state.t + 1), lu
+
+        if refresh >= frame_skip:
+            # one linearize+factor per env step; the frame_skip-1 remaining
+            # substeps share ONE scan body (compile cost ~2 substep graphs)
+            state, lu = substep(state, None, True)
+            if frame_skip > 1:
+                state, _ = jax.lax.scan(
+                    lambda s, _: (substep(s, lu, False)[0], None),
+                    state, None, length=frame_skip - 1)
+        else:
+            def body(s, _):
+                s2, _ = substep(s, None, (True if refresh == 1 else None))
+                return s2, None
+            if refresh == 1:
+                state, _ = jax.lax.scan(body, state, None, length=frame_skip)
+            else:
+                lu = None
+                for k in range(frame_skip):   # mixed periods: unrolled
+                    state, lu = substep(state, lu, k % refresh == 0)
+        return state
+
+    return env_step
 
 
 def build_step(struct: Structure):

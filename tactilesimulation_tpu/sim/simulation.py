@@ -34,10 +34,19 @@ from .types import Model, SimState, Structure
 class Simulator:
     """Functional simulation API bound to one scene structure."""
 
-    def __init__(self, struct: Structure, model: Model):
+    def __init__(self, struct: Structure, model: Model,
+                 points_major: Optional[bool] = None):
         self.struct = struct
         self.model = model
-        self._step = integrators.build_step(struct)
+        # dense marker fields (e.g. the 200x200 rolling-ball pad): evaluate
+        # contact in the (3, N) points-in-lanes layout so forward AND BPTT
+        # are lane-efficient (sim/dense_single.py). Small scenes keep the
+        # row-major path (identical numerics; parity-tested).
+        if points_major is None:
+            points_major = (len(struct.cp_joint) + len(struct.tac_joint)
+                            >= 2048)
+        self.points_major = points_major
+        self._step = integrators.build_step(struct, points_major=points_major)
         self.step = jax.jit(self._step)
         self.tactile = jax.jit(self._tactile)
         self.variables = jax.jit(
@@ -62,8 +71,15 @@ class Simulator:
             from ..ops import tactile_query
             return tactile_query.tactile_field(
                 self.struct, model, state.q, state.qdot).reshape(-1)
-        return dynamics.tactile_field(
-            self.struct, model, state.q, state.qdot).reshape(-1)
+        return self._tactile_field(model, state.q, state.qdot).reshape(-1)
+
+    def _tactile_field(self, model, q, qdot):
+        """Differentiable tactile field in the layout matching the step."""
+        if self.points_major:
+            from . import dense_single
+            return dense_single.tactile_field_points_major(
+                self.struct, model, q, qdot)
+        return dynamics.tactile_field(self.struct, model, q, qdot)
 
     def _use_fast_tactile(self) -> bool:
         """Pallas fused query on TPU (query path only — never under grad)."""
@@ -81,7 +97,7 @@ class Simulator:
 
         def body(carry, u):
             state = step(carry[0], carry[1], u)
-            tac = (dynamics.tactile_field(struct, carry[0], state.q, state.qdot)
+            tac = (self._tactile_field(carry[0], state.q, state.qdot)
                    .reshape(-1) if with_tactile
                    else jnp.zeros((0,), state.q.dtype))
             out = (state.q, kinematics.ee_positions(struct, carry[0], state.q), tac)
@@ -136,8 +152,8 @@ class Simulator:
                 tac = tactile_query.tactile_field(
                     struct, model, state.q, state.qdot).reshape(-1)
             else:
-                tac = dynamics.tactile_field(
-                    struct, model, state.q, state.qdot).reshape(-1)
+                tac = self._tactile_field(
+                    model, state.q, state.qdot).reshape(-1)
             out = (state.q, kinematics.ee_positions(struct, model, state.q), tac)
             return (model, state), out
 

@@ -100,9 +100,11 @@ def render_trajectory(struct, model, qs, path, fps=30, every=1, lim=0.3,
         from PIL import Image
         imgs = [Image.fromarray(f) for f in frames]
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        # PIL GIF: loop=0 means repeat forever; to play ONCE the parameter
+        # must be omitted entirely (loop=1 would play twice)
+        kw = {"loop": 0} if loop else {}
         imgs[0].save(path, save_all=True, append_images=imgs[1:],
-                     duration=int(1000 / (fps * max(speed, 1e-6))),
-                     loop=0 if loop else 1)
+                     duration=int(1000 / (fps * max(speed, 1e-6))), **kw)
     else:
         os.makedirs(path, exist_ok=True)
         from PIL import Image

@@ -76,6 +76,23 @@ def test_ilqr_beats_adam_quarter_iterations_tactile_push():
         f"iLQR {float(ilqr_cost):.6f} vs shooting {float(shoot_cost):.6f}")
 
 
+def test_ilqr_respects_model_argument():
+    """Round-3 advisor fix: solve(model, ...) must use THAT model, not the
+    construction-time one — a caller passing a domain-randomized model gets
+    trajectories from it."""
+    sim, cost = _pendulum_problem()
+    H = 10
+    ilqr = ILQROptimizer(sim, H, cost, iterations=3)
+    state0 = sim.init_state()
+    us0 = 0.05 * jnp.ones((H, sim.struct.ndof_u))
+    _, c_nom, _ = ilqr.solve(sim.model, state0, us0)
+    heavy = sim.model.replace(body_mass=sim.model.body_mass * 3.0,
+                              body_inertia=sim.model.body_inertia * 3.0)
+    _, c_heavy, _ = ilqr.solve(heavy, state0, us0)
+    assert abs(float(c_nom) - float(c_heavy)) > 1e-8, (
+        "perturbed model must change the solve result")
+
+
 def test_ilqr_multistart_and_mpc_api():
     sim, cost = _pendulum_problem()
     H = 10
