@@ -35,6 +35,17 @@ def main():
                     help="run the batch through the lane-major (batch-last) "
                          "core (sim/lanes.py) instead of vmap")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--grad", action="store_true",
+                    help="also time a full BPTT: d(loss through the dense "
+                         "tactile field + final ball position)/d(controls) "
+                         "over --grad-steps env steps (the differentiable "
+                         "path the reference C++ adjoint serves, "
+                         "redmax_torch_functions.py:70-109)")
+    ap.add_argument("--grad-steps", type=int, default=100)
+    ap.add_argument("--viz", type=str, default="",
+                    help="dump tactile depth/force images of the final "
+                         "frame into this folder (reference "
+                         "test_sim_speed.py:80-101 live windows, offline)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -131,6 +142,47 @@ def main():
     print(f"tactile: max |normal| = {np.abs(tac[:, 2]).max():.4g}, "
           f"max |shear| = {np.linalg.norm(tac[:, :2], axis=1).max():.4g}, "
           f"active markers = {(np.abs(tac[:, 2]) > 1e-9).sum()}")
+
+    if args.viz:
+        from PIL import Image
+
+        from tactilesimulation_tpu.utils import tactile_viz
+        res = args.resolution
+        arr = tac.reshape(res, res, 3)
+        os.makedirs(args.viz, exist_ok=True)
+        depth = tactile_viz.visualize_depth_image(arr)
+        force = tactile_viz.visualize_tactile_image(arr)
+        for name, img in (("depth", depth), ("force", force)):
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                os.path.join(args.viz, f"{name}.png"))
+        print(f"tactile depth/force images -> {args.viz}/")
+
+    if args.grad:
+        # BPTT protocol of artifacts/ROLLING_FPS_r0*.json: loss reads the
+        # dense tactile field at every captured frame plus the final ball
+        # position; gradient w.r.t. the whole control sequence.
+        Kg = max(args.grad_steps // stride, 1)
+        us_g = us_chunks[:Kg]
+        roll_diff = sim.make_rollout_strided(stride, remat=True,
+                                             fast_tactile=False)
+
+        def loss(us_k):
+            state, qs, vars_, tacs = roll_diff(model, state0, us_k)
+            return jnp.sum(tacs ** 2) * 1e3 + jnp.sum(state.q[3:6] ** 2)
+
+        gfn = jax.jit(jax.grad(loss))
+        t0 = time.time()
+        g = gfn(us_g)
+        g.block_until_ready()
+        print(f"BPTT compile+first: {time.time() - t0:.1f}s")
+        t0 = time.time()
+        g = gfn(us_g)
+        g.block_until_ready()
+        dt = time.time() - t0
+        gn = float(jnp.linalg.norm(g))
+        print(f"BPTT {Kg * stride} steps: {dt:.3f}s "
+              f"({Kg * stride / dt:.1f} steps/s), |g| = {gn:.4g}, "
+              f"finite = {bool(jnp.all(jnp.isfinite(g)))}")
 
 
 if __name__ == "__main__":

@@ -164,16 +164,43 @@ class GD:
             return params, opt_state, loss, aux[:2], gnorm, obs_rms
 
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            rep = NamedSharding(self.mesh, P())
-            shard = NamedSharding(self.mesh, P("batch"))
-            # out_shardings replicates EVERY output (incl. the per-episode
-            # reward aux): on a multi-host cluster a batch-sharded aux is not
-            # fully addressable and np.asarray(aux[0]) on the host would
-            # raise. The all-gather this inserts is tiny ((E,) floats).
-            self._update = jax.jit(
-                update, in_shardings=(rep, rep, shard, rep),
-                out_shardings=rep)
+            from jax.sharding import PartitionSpec as P
+            try:
+                from jax import shard_map
+            except ImportError:
+                from jax.experimental.shard_map import shard_map
+
+            def update_spmd(params, opt_state, keys, obs_rms):
+                """Explicit-SPMD epoch update: each device rolls out its
+                episode shard, gradients/losses are pmean'd over the ICI
+                mesh, and every output is replicated (all-gathered aux is a
+                tiny (E,) float vector). shard_map instead of GSPMD
+                auto-partitioning so the fused Pallas contact kernel
+                (ops/lane_contact.py) partitions by construction — the SPMD
+                partitioner has no rule for custom calls."""
+                (loss, aux), grads = jax.value_and_grad(
+                    epoch_loss, has_aux=True)(params, keys, obs_rms)
+                loss = jax.lax.pmean(loss, "batch")
+                grads = jax.lax.pmean(grads, "batch")
+                gnorm = optax.global_norm(grads)
+                updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                           params)
+                params = optax.apply_updates(params, updates)
+                if self.use_obs_rms:
+                    obs_seen = jax.lax.all_gather(aux[2], "batch",
+                                                  tiled=True)
+                    obs_rms = obs_rms.update(
+                        obs_seen.reshape(-1, obs_seen.shape[-1]))
+                ep_r = jax.lax.all_gather(aux[0], "batch", tiled=True)
+                infos = jax.tree.map(
+                    lambda x: jax.lax.all_gather(x, "batch", tiled=True),
+                    aux[1])
+                return params, opt_state, loss, (ep_r, infos), gnorm, obs_rms
+
+            self._update = jax.jit(shard_map(
+                update_spmd, mesh=self.mesh,
+                in_specs=(P(), P(), P("batch"), P()),
+                out_specs=P(), check_vma=False))
         else:
             self._update = jax.jit(update)
         self._policy_factory = policy_apply_factory

@@ -333,6 +333,7 @@ class PPORNN:
         points, angles = [], []
         total_reward, improve_cnt, episode_len = 0.0, 0, 0
         success = False
+        first_success_step = -1   # 1-based step of FIRST success (-1 = never)
         for _ in range(env.max_episode_steps):
             key, ka = jax.random.split(key)
             action, hxs = self._play_step(self.params, self.norm, obs, hxs,
@@ -348,6 +349,8 @@ class PPORNN:
             angles.append(np.rad2deg(pose[2]))
             if bool(info["success"]):
                 success = True
+                if first_success_step < 0:
+                    first_success_step = episode_len
                 class_success[c1][c2] += 1
             if bool(info["improve"]):
                 improve_cnt += 1
@@ -356,7 +359,8 @@ class PPORNN:
                 break
         extra = {"class_cnt": class_cnt, "class_improve_cnt": class_improve,
                  "class_success_cnt": class_success, "points": points,
-                 "angles": angles}
+                 "angles": angles,
+                 "first_success_step": first_success_step}
         return total_reward, success, improve_cnt, episode_len, extra
 
     def play(self, num_games=10, stochastic=False, seed=None,
@@ -369,7 +373,7 @@ class PPORNN:
         agg = {"class_cnt": np.zeros((3, 3), int),
                "class_improve_cnt": np.zeros((3, 3), int),
                "class_success_cnt": np.zeros((3, 3), int)}
-        points, angles = [], []
+        points, angles, steps_to_success = [], [], []
         success_cnt, improve_cnt, episode_len_sum, total_reward = 0, 0, 0, 0.0
         for _ in range(num_games):
             key, k = jax.random.split(key)
@@ -380,17 +384,27 @@ class PPORNN:
             if success:
                 success_cnt += 1
                 episode_len_sum += ep_len
+                steps_to_success.append(extra["first_success_step"])
             for name in agg:
                 agg[name] += extra[name]
             points += extra["points"]
             angles += extra["angles"]
 
         n_steps = max(int(agg["class_cnt"].sum()), 1)
+        # steps-to-success is the DISCRIMINATIVE insertion metric: episode
+        # success saturates under multi-try semantics (a random walk scores
+        # 0.8-1.0 — artifacts/README.md baselines: mean 6.0 steps in
+        # translation mode), so a trained policy must show FEWER attempts,
+        # not just more successes.
+        sts_mean = float(np.mean(steps_to_success)) if steps_to_success \
+            else float("nan")
+        sts_med = float(np.median(steps_to_success)) if steps_to_success \
+            else float("nan")
         log.print_info(
             f"[Summary] Avg reward = {total_reward / num_games:.3f}, "
             f"Success rate = {success_cnt / num_games * 100.:.2f}%, "
-            f"Avg success episode length = "
-            f"{episode_len_sum / max(success_cnt, 1):.2f}, "
+            f"Steps-to-success mean = {sts_mean:.2f} / median = "
+            f"{sts_med:.1f}, "
             f"Improve rate = {improve_cnt / n_steps * 100.:.2f}%")
         for c1 in range(3):
             for c2 in range(3):
@@ -420,6 +434,9 @@ class PPORNN:
             plt.close(fig)
         return {"success_rate": success_cnt / num_games,
                 "improve_rate": improve_cnt / n_steps,
+                "steps_to_success_mean": sts_mean,
+                "steps_to_success_median": sts_med,
+                "steps_to_success": steps_to_success,
                 "avg_reward": total_reward / num_games, **agg}
 
     def save(self, filename=None):

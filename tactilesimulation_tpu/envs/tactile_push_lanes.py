@@ -44,7 +44,7 @@ class TactilePushLanes:
     """
 
     def __init__(self, env: TactilePushEnv, *, solver_refresh: int = 0,
-                 solver_bwd: str = "stale", max_iter: int = 0):
+                 solver_bwd: str = "exact", max_iter: int = 0):
         self.env = env
         self.struct = env.struct
         self.model = env.model
@@ -58,18 +58,22 @@ class TactilePushLanes:
         self.rebuild_solver(refresh=solver_refresh, bwd_mode=solver_bwd,
                             max_iter=max_iter)
 
-    def rebuild_solver(self, *, refresh: int = 0, bwd_mode: str = "stale",
+    def rebuild_solver(self, *, refresh: int = 0, bwd_mode: str = "exact",
                        max_iter: int = 0, fused="auto"):
         """(Re)build the fused frame_skip sim step.
 
-        Defaults: chord LU amortized across the whole env step (refresh=0)
-        with the stale-LU IFT adjoint — the shipped configuration from the
-        round-4 accuracy study (artifacts/SOLVER_ACCURACY_r04.jsonl: BPTT
-        control-gradient cosine vs the converged refresh-1/exact solver
-        stays >= 0.999 at the scene budget). ``refresh=1, bwd_mode='exact'``
-        reproduces scan-of-build_step exactly (parity tests). ``fused``
-        routes the contact chain through the Pallas pair-wrench kernel
-        (auto: on TPU only)."""
+        Defaults from the round-4 accuracy study
+        (artifacts/SOLVER_ACCURACY_r04.jsonl, TactilePush H=10 f32 vs a
+        converged refresh=1/exact/iter=30 reference): chord LU amortized
+        across the env step (refresh=0) with the EXACT IFT adjoint —
+        grad cos 0.937 vs the per-substep baseline's 0.954. The 'stale'
+        adjoint (reusing the forward LU transposed) was measured at cos
+        0.39 and is NOT shipped: chord staleness is benign in the forward
+        fixed point but compounds multiplicatively through the reverse
+        sweep. ``refresh=1, bwd_mode='exact'`` reproduces
+        scan-of-build_step exactly (parity tests). ``fused`` routes the
+        contact chain through the Pallas pair-wrench kernel (auto: on TPU
+        only)."""
         import jax as _jax
         self.solver_refresh = refresh
         self.solver_bwd = bwd_mode

@@ -59,5 +59,10 @@ def test_play_matrices(tmp_path):
     # success binned by the same pre-step class (reference ppo_rnn.py:316-338)
     assert out["class_cnt"][0][2] >= 3
     assert out["class_success_cnt"][0][2] >= 3
+    # steps-to-success (round-4 metric): the stub halves the pose each step
+    # from (-4, 4) mm, so the first success (|x|,|y| < 2.25 mm) is step 1
+    assert out["steps_to_success_mean"] == 1.0
+    assert out["steps_to_success_median"] == 1.0
+    assert len(out["steps_to_success"]) == 3
     import os
     assert os.path.exists(plot)
