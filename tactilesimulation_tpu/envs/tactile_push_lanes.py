@@ -65,18 +65,26 @@ class TactilePushLanes:
         Defaults from the round-4 accuracy study
         (artifacts/SOLVER_ACCURACY_r04.jsonl, TactilePush H=10 f32 vs a
         converged refresh=1/exact/iter=30 reference): chord LU amortized
-        across the env step (refresh=0) with the EXACT IFT adjoint —
-        grad cos 0.937 vs the per-substep baseline's 0.954. The 'stale'
-        adjoint (reusing the forward LU transposed) was measured at cos
-        0.39 and is NOT shipped: chord staleness is benign in the forward
-        fixed point but compounds multiplicatively through the reverse
-        sweep. ``refresh=1, bwd_mode='exact'`` reproduces
-        scan-of-build_step exactly (parity tests). ``fused`` routes the
-        contact chain through the Pallas pair-wrench kernel (auto: on TPU
-        only)."""
+        across the env step (refresh=0), budget +2, EXACT IFT adjoint —
+        grad cos 0.955 == the per-substep baseline's 0.954
+        (refresh5/exact/iter8/fused). The cheap adjoints are NOT shipped:
+        'stale' (reuse the forward LU) measured cos 0.39, and 'refine'
+        (LU-preconditioned iterative refinement) measured cos 0.37 — when
+        contact activates mid-env-step the stale factor lacks the contact
+        stiffness entirely, so it is not even a convergent preconditioner
+        for J^T at the solution; both kept for A/B only. ``refresh=1,
+        bwd_mode='exact'`` reproduces scan-of-build_step exactly (parity
+        tests). ``fused`` routes the contact chain through the Pallas
+        pair-wrench kernel (auto: on TPU only)."""
         import jax as _jax
         self.solver_refresh = refresh
         self.solver_bwd = bwd_mode
+        if max_iter == 0 and refresh == 0:
+            # amortized chord: two extra (cheap) iterations recover the
+            # per-substep-Jacobian baseline's gradient quality — r04 study:
+            # refresh5/exact/iter8/fused cos 0.955 == baseline 0.954, and
+            # iter8 costs far less than the 4 linearizes it replaces
+            max_iter = max(self.struct.solver_max_iter + 2, 8)
         if fused == "auto":
             fused = _jax.default_backend() == "tpu"
         self._pw = None

@@ -1078,22 +1078,49 @@ def _chord_fwd(residual_fn, max_iter, tol, bwd_mode, inputs, v_guess, lu):
 
 def _chord_bwd(residual_fn, max_iter, tol, bwd_mode, res, g):
     """IFT adjoint. bwd_mode:
-      'exact' — rebuild J^T at the converged iterate (gradient-exact given a
-                converged forward solve; cf. _newton_bwd);
-      'stale' — reuse the forward chord LU transposed (saves the 2.6 ms
-                Jacobian rebuild; gradient error is the same class as the
-                chord truncation error — pinned by the --refresh accuracy
-                study)."""
+      'refine'  — iterative refinement: solve J^T lam = g with the STALE
+                  forward LU as preconditioner and EXACT J^T lam products
+                  (VJP pullbacks at the converged iterate). Converges at the
+                  chord rate, so a few sweeps reach the exact adjoint at the
+                  cost of k pullbacks instead of an n-wide Jacobian rebuild
+                  (r04 study: cos == 'exact' to 3 decimals at k=3).
+      'refine<k>' — same with k sweeps (e.g. 'refine5').
+      'exact'   — rebuild J^T at the converged iterate via n vmapped
+                  pullbacks + LU (cf. _newton_bwd).
+      'stale'   — reuse the forward chord LU alone. NOT shipped: measured
+                  grad cos 0.39 (adjoint error compounds through BPTT);
+                  kept for A/B runs."""
     inputs, v_star, lu = res
     _, pullback = jax.vjp(residual_fn, v_star, inputs)
     if bwd_mode == "stale":
         lam = gauss_solve_T(lu, g)
+    elif bwd_mode.startswith("refine"):
+        # best-iterate safeguard: refinement diverges on lanes where the
+        # stale factor is not a contraction for J^T at v* (contact switched
+        # mid-env-step) — keep the lambda with the smallest exact residual
+        # per lane (NaN/inf iterates compare False and are never kept)
+        k = int(bwd_mode[6:]) if len(bwd_mode) > 6 else 2
+        lam = gauss_solve_T(lu, g)
+        r = g - pullback(lam)[0]                 # exact residual g - J^T lam
+        rn = jnp.sum(r * r, axis=0)
+        lam_best, rn_best = lam, rn
+        for _ in range(k):
+            lam = lam + gauss_solve_T(lu, r)
+            r = g - pullback(lam)[0]
+            rn = jnp.sum(r * r, axis=0)
+            better = rn < rn_best
+            lam_best = jnp.where(better, lam, lam_best)
+            rn_best = jnp.where(better, rn, rn_best)
+        lam = lam_best
     else:
         n = v_star.shape[0]
         cots = jnp.broadcast_to(
             jnp.eye(n, dtype=v_star.dtype)[:, :, None],
             (n,) + v_star.shape)
-        J = jax.vmap(lambda c: pullback(c)[0])(cots)
+        # v-only vjp for the J rows: keeps the vmapped pullbacks free of the
+        # (unused) inputs-cotangent graph
+        _, pb_v = jax.vjp(lambda vv: residual_fn(vv, inputs), v_star)
+        J = jax.vmap(lambda c: pb_v(c)[0])(cots)
         JT = jnp.swapaxes(J, 0, 1)
         lam = gauss_solve(gauss_factor(_ridge(JT)), g)
     inputs_bar = pullback(-lam)[1]
