@@ -44,12 +44,12 @@ def main():
     ap.add_argument("--refresh", type=int, default=0,
                     help="chord-LU refresh period in substeps (0 = once per "
                          "env step — the amortized default; 1 = per substep)")
-    ap.add_argument("--bwd", default="exact",
-                    choices=("refine", "refine5", "exact", "stale"),
-                    help="IFT adjoint: 'refine' (default) solves with the "
-                         "forward LU + exact-pullback iterative refinement; "
-                         "'exact' rebuilds J; 'stale' is A/B only "
-                         "(measured grad cos 0.39)")
+    ap.add_argument("--bwd", default="fwdfac",
+                    choices=("exact", "fwdfac", "refine", "refine5", "stale"),
+                    help="IFT adjoint: 'fwdfac' (default) factors the exact "
+                         "at-solution Jacobian in the forward pass; 'exact' "
+                         "rebuilds it in the backward; 'stale'/'refine' are "
+                         "A/B only (measured grad cos 0.39/0.37)")
     ap.add_argument("--unroll", type=int, default=1,
                     help="substep-loop unroll factor (1..frame_skip)")
     ap.add_argument("--vmap", action="store_true",

@@ -44,7 +44,7 @@ class TactilePushLanes:
     """
 
     def __init__(self, env: TactilePushEnv, *, solver_refresh: int = 0,
-                 solver_bwd: str = "exact", max_iter: int = 0):
+                 solver_bwd: str = "fwdfac", max_iter: int = 0):
         self.env = env
         self.struct = env.struct
         self.model = env.model
@@ -58,24 +58,27 @@ class TactilePushLanes:
         self.rebuild_solver(refresh=solver_refresh, bwd_mode=solver_bwd,
                             max_iter=max_iter)
 
-    def rebuild_solver(self, *, refresh: int = 0, bwd_mode: str = "exact",
+    def rebuild_solver(self, *, refresh: int = 0, bwd_mode: str = "fwdfac",
                        max_iter: int = 0, fused="auto"):
         """(Re)build the fused frame_skip sim step.
 
         Defaults from the round-4 accuracy study
         (artifacts/SOLVER_ACCURACY_r04.jsonl, TactilePush H=10 f32 vs a
         converged refresh=1/exact/iter=30 reference): chord LU amortized
-        across the env step (refresh=0), budget +2, EXACT IFT adjoint —
-        grad cos 0.955 == the per-substep baseline's 0.954
-        (refresh5/exact/iter8/fused). The cheap adjoints are NOT shipped:
-        'stale' (reuse the forward LU) measured cos 0.39, and 'refine'
-        (LU-preconditioned iterative refinement) measured cos 0.37 — when
-        contact activates mid-env-step the stale factor lacks the contact
-        stiffness entirely, so it is not even a convergent preconditioner
-        for J^T at the solution; both kept for A/B only. ``refresh=1,
-        bwd_mode='exact'`` reproduces scan-of-build_step exactly (parity
-        tests). ``fused`` routes the contact chain through the Pallas
-        pair-wrench kernel (auto: on TPU only)."""
+        across the env step (refresh=0), budget +2, and the 'fwdfac'
+        adjoint — the EXACT at-solution Jacobian, factored in the forward
+        pass (cheaper there than inside the reverse-of-scan context) and
+        handed to the backward solve; gradients identical to 'exact'
+        (grad cos 0.955 == the per-substep baseline's 0.954 at
+        refresh5/iter8/fused). The truly cheap adjoints are NOT shipped:
+        'stale' (reuse the pre-solve forward LU) measured cos 0.39 and
+        'refine' (LU-preconditioned iterative refinement) cos 0.37 — when
+        contact activates mid-env-step the pre-solve factor lacks the
+        contact stiffness entirely, so it is not even a convergent
+        preconditioner for J^T at the solution; both kept for A/B only.
+        ``refresh=1, bwd_mode='exact'`` reproduces scan-of-build_step
+        exactly (parity tests). ``fused`` routes the contact chain through
+        the Pallas pair-wrench kernel (auto: on TPU only)."""
         import jax as _jax
         self.solver_refresh = refresh
         self.solver_bwd = bwd_mode

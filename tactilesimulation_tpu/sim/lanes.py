@@ -1073,6 +1073,12 @@ def chord_solve(residual_fn, max_iter, tol, bwd_mode, inputs: StepInputs,
 
 def _chord_fwd(residual_fn, max_iter, tol, bwd_mode, inputs, v_guess, lu):
     v_star = _chord(residual_fn, max_iter, tol, inputs, v_guess, lu)
+    if bwd_mode == "fwdfac":
+        # factor the EXACT Jacobian at the solution HERE, in the forward
+        # pass (measured cheaper than inside the reverse-of-scan context),
+        # and hand it to the adjoint — same matrix the 'exact' mode builds
+        # in the backward, so gradients are identical
+        lu = make_chord_lu(residual_fn, inputs, v_star, reverse=True)
     return v_star, (inputs, v_star, lu)
 
 
@@ -1092,7 +1098,8 @@ def _chord_bwd(residual_fn, max_iter, tol, bwd_mode, res, g):
                   kept for A/B runs."""
     inputs, v_star, lu = res
     _, pullback = jax.vjp(residual_fn, v_star, inputs)
-    if bwd_mode == "stale":
+    if bwd_mode in ("stale", "fwdfac"):
+        # 'fwdfac': lu is the EXACT at-solution factor saved by the forward
         lam = gauss_solve_T(lu, g)
     elif bwd_mode.startswith("refine"):
         # best-iterate safeguard: refinement diverges on lanes where the
