@@ -44,12 +44,13 @@ def main():
     ap.add_argument("--refresh", type=int, default=0,
                     help="chord-LU refresh period in substeps (0 = once per "
                          "env step — the amortized default; 1 = per substep)")
-    ap.add_argument("--bwd", default="fwdfac",
+    ap.add_argument("--bwd", default="exact",
                     choices=("exact", "fwdfac", "refine", "refine5", "stale"),
-                    help="IFT adjoint: 'fwdfac' (default) factors the exact "
-                         "at-solution Jacobian in the forward pass; 'exact' "
-                         "rebuilds it in the backward; 'stale'/'refine' are "
-                         "A/B only (measured grad cos 0.39/0.37)")
+                    help="IFT adjoint: 'exact' (default) rebuilds the "
+                         "at-solution Jacobian in the backward; 'fwdfac' "
+                         "factors it in the forward pass (measured slower: "
+                         "174 vs 194 r/s); 'stale'/'refine' are A/B only "
+                         "(grad cos 0.39/0.37)")
     ap.add_argument("--unroll", type=int, default=1,
                     help="substep-loop unroll factor (1..frame_skip)")
     ap.add_argument("--vmap", action="store_true",
@@ -143,6 +144,10 @@ def main():
 
     best = float("inf")
     for _ in range(args.repeats):
+        # perturb inputs per repeat: the axon remote executor memoizes
+        # (program, inputs) pairs and would otherwise serve cached results
+        # at RPC latency (the round-3 rolling-ball 333k FPS artifact)
+        us = us + 1e-8
         t0 = time.time()
         out = fn(us, keys)
         jax.tree.map(lambda x: x.block_until_ready(), out)

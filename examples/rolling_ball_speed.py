@@ -123,10 +123,22 @@ def main():
     jax.tree.map(lambda x: x.block_until_ready(), out)
     print(f"compile+first run: {time.time() - t0:.1f}s")
 
-    t0 = time.time()
-    out = run()
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    t1 = time.time()
+    # Timing methodology: the axon tunnel's block_until_ready can return one
+    # execution EARLY, so a single timed repeat measures the PREVIOUS call's
+    # remainder (this produced the round-3 "333k steps/s" artifact; the true
+    # figure is ~275 substeps/s). Run several repeats with perturbed inputs
+    # and report the median of the later ones.
+    times = []
+    for rep in range(4):
+        us_chunks = us_chunks + 1e-8
+        if args.lanes and args.batch >= 1:
+            us_lane = us_lane + 1e-8
+            run = lambda: lane_jit(model, lstate, us_lane)
+        t0 = time.time()
+        out = run()
+        jax.tree.map(lambda x: x.block_until_ready(), out)
+        times.append(time.time() - t0)
+    t1, t0 = float(np.median(times[1:])), 0.0
 
     nsteps = K * stride * max(args.batch, 1)
     print(f"time elapsed = {t1 - t0:.3f} , FPS = {nsteps / (t1 - t0):.1f}")
@@ -175,10 +187,14 @@ def main():
         g = gfn(us_g)
         g.block_until_ready()
         print(f"BPTT compile+first: {time.time() - t0:.1f}s")
-        t0 = time.time()
-        g = gfn(us_g)
-        g.block_until_ready()
-        dt = time.time() - t0
+        gts = []
+        for rep in range(3):   # distinct inputs + median (see note above)
+            us_g = us_g + 1e-8
+            t0 = time.time()
+            g = gfn(us_g)
+            g.block_until_ready()
+            gts.append(time.time() - t0)
+        dt = float(np.median(gts[1:]))
         gn = float(jnp.linalg.norm(g))
         print(f"BPTT {Kg * stride} steps: {dt:.3f}s "
               f"({Kg * stride / dt:.1f} steps/s), |g| = {gn:.4g}, "

@@ -44,7 +44,7 @@ class TactilePushLanes:
     """
 
     def __init__(self, env: TactilePushEnv, *, solver_refresh: int = 0,
-                 solver_bwd: str = "fwdfac", max_iter: int = 0):
+                 solver_bwd: str = "exact", max_iter: int = 0):
         self.env = env
         self.struct = env.struct
         self.model = env.model
@@ -58,19 +58,18 @@ class TactilePushLanes:
         self.rebuild_solver(refresh=solver_refresh, bwd_mode=solver_bwd,
                             max_iter=max_iter)
 
-    def rebuild_solver(self, *, refresh: int = 0, bwd_mode: str = "fwdfac",
+    def rebuild_solver(self, *, refresh: int = 0, bwd_mode: str = "exact",
                        max_iter: int = 0, fused="auto"):
         """(Re)build the fused frame_skip sim step.
 
         Defaults from the round-4 accuracy study
         (artifacts/SOLVER_ACCURACY_r04.jsonl, TactilePush H=10 f32 vs a
         converged refresh=1/exact/iter=30 reference): chord LU amortized
-        across the env step (refresh=0), budget +2, and the 'fwdfac'
-        adjoint — the EXACT at-solution Jacobian, factored in the forward
-        pass (cheaper there than inside the reverse-of-scan context) and
-        handed to the backward solve; gradients identical to 'exact'
-        (grad cos 0.955 == the per-substep baseline's 0.954 at
-        refresh5/iter8/fused). The truly cheap adjoints are NOT shipped:
+        across the env step (refresh=0), budget +2, and the EXACT
+        at-solution IFT adjoint (grad cos 0.955 == the per-substep
+        baseline's 0.954 at refresh5/iter8/fused). 'fwdfac' (same matrix
+        factored in the forward pass instead) measured SLOWER end-to-end
+        (174 vs 194 rollouts/s) and is an A/B flag. The truly cheap adjoints are NOT shipped:
         'stale' (reuse the pre-solve forward LU) measured cos 0.39 and
         'refine' (LU-preconditioned iterative refinement) cos 0.37 — when
         contact activates mid-env-step the pre-solve factor lacks the

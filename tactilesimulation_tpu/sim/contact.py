@@ -28,6 +28,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -103,7 +104,8 @@ def group_sdf(group: ContactGroup, model, x, body_p, body_R):
     p_b = jnp.take(body_p, pidx, axis=0)
     R_b = jnp.take(body_R, pidx, axis=0)
     size = jnp.take(model.body_size, pidx, axis=0)
-    xl = jnp.einsum("nji,nj->ni", R_b, x - p_b)  # world -> local
+    xl = jnp.einsum("nji,nj->ni", R_b, x - p_b,
+                    precision=jax.lax.Precision.HIGHEST)  # world -> local
     if group.gtype == GEOM_CUBOID:
         phi, gl = _sdf_box(xl, size / 2.0)
     elif group.gtype == GEOM_CYLINDER:
@@ -112,7 +114,8 @@ def group_sdf(group: ContactGroup, model, x, body_p, body_R):
         phi, gl = _sdf_sphere(xl, size[:, 0])
     else:
         raise ValueError(group.gtype)
-    n = jnp.einsum("nij,nj->ni", R_b, gl)
+    n = jnp.einsum("nij,nj->ni", R_b, gl,
+                    precision=jax.lax.Precision.HIGHEST)
     return phi, n
 
 
@@ -172,7 +175,8 @@ def group_forces(group: ContactGroup, model, pts, pts_dot, body_p, body_R,
         R_b = jnp.take(body_R, pidx, axis=0)
         v_prim = (jnp.take(body_v, pidx, axis=0)
                   + jnp.cross(jnp.take(body_w, pidx, axis=0), x_eff - p_b))
-        xi_p = jnp.einsum("nji,nj->ni", R_b, x_eff - p_b)
+        xi_p = jnp.einsum("nji,nj->ni", R_b, x_eff - p_b,
+                           precision=jax.lax.Precision.HIGHEST)
 
     prm = jnp.take(params, jnp.asarray(group.param_idx), axis=0)
     f = penalty_force(phi, n, v_pt - v_prim,

@@ -41,7 +41,7 @@ def kinetic_energy(struct: Structure, model: Model, q, v):
     p, quat, pd, w = body_velocities(struct, model, q, v)
     del p
     R = spatial.quat_to_mat(quat)
-    w_local = jnp.einsum("bji,bj->bi", R, w)
+    w_local = jnp.einsum("bji,bj->bi", R, w, precision=jax.lax.Precision.HIGHEST)
     return (0.5 * jnp.sum(model.body_mass * jnp.sum(pd * pd, axis=-1))
             + 0.5 * jnp.sum(model.body_inertia * w_local * w_local))
 
@@ -69,7 +69,7 @@ def lagrangian(struct: Structure, model: Model, q, v):
     pass over L yields momentum AND all conservative generalized forces."""
     p, quat, pd, w = body_velocities(struct, model, q, v)
     R = spatial.quat_to_mat(quat)
-    w_local = jnp.einsum("bji,bj->bi", R, w)
+    w_local = jnp.einsum("bji,bj->bi", R, w, precision=jax.lax.Precision.HIGHEST)
     T = (0.5 * jnp.sum(model.body_mass * jnp.sum(pd * pd, axis=-1))
          + 0.5 * jnp.sum(model.body_inertia * w_local * w_local))
     V = -jnp.sum(model.body_mass * (p @ model.gravity))

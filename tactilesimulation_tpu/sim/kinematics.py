@@ -14,6 +14,7 @@ flow anywhere (jit/vmap/grad-safe).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from . import spatial
@@ -159,7 +160,8 @@ def fk_joints(struct: Structure, model: Model, q):
     dtype = q.dtype
     q_pad = jnp.concatenate([q, jnp.zeros(1, dtype)])
     qt = jnp.take(q_pad, jnp.asarray(tb["trans_idx"]))            # (J,3)
-    trans_local = jnp.einsum("jik,jk->ji", jnp.asarray(tb["basis"], dtype), qt)
+    trans_local = jnp.einsum("jik,jk->ji", jnp.asarray(tb["basis"], dtype), qt,
+                            precision=jax.lax.Precision.HIGHEST)
     qr = jnp.take(q_pad, jnp.asarray(tb["rot_idx"]))              # (J,3)
     aa = spatial.axis_angle_quat(model.joint_axis0, qr[:, 0])
     expq = spatial.rotvec_to_quat(qr)

@@ -507,8 +507,13 @@ def joint_twists(struct: Structure, w, c, rot_mask, v):
     u = cross(w, c)                                           # w_k x c_k
     omega_terms = rm * wv
     beta_terms = (1.0 - rm) * wv - rm * (u * v[None])
-    Omega = jnp.einsum("cnb,nj->cjb", omega_terms, anc)
-    beta = jnp.einsum("cnb,nj->cjb", beta_terms, anc)
+    # precision=HIGHEST: these dot_generals hit the MXU, whose default
+    # f32 path multiplies in bfloat16 — enough twist error to bifurcate
+    # stiff contact trajectories on TPU (found via rolling-ball r04 A/B:
+    # CPU f32 matched the oracle to 9e-8, TPU diverged to nonsense)
+    hi = jax.lax.Precision.HIGHEST
+    Omega = jnp.einsum("cnb,nj->cjb", omega_terms, anc, precision=hi)
+    beta = jnp.einsum("cnb,nj->cjb", beta_terms, anc, precision=hi)
     return Omega, beta
 
 
@@ -520,11 +525,12 @@ def wrench_to_Q(struct: Structure, w, c, rot_mask, F, Tau):
     anc = jnp.asarray(_dof_tables(struct), w.dtype)          # (n, J)
     rm = jnp.asarray(rot_mask, w.dtype).reshape(-1, 1, 1)
     u = cross(w, c)
-    wF = jnp.einsum("cnb,cjb->njb", w, F)
-    wT = jnp.einsum("cnb,cjb->njb", w, Tau)
-    uF = jnp.einsum("cnb,cjb->njb", u, F)
+    hi = jax.lax.Precision.HIGHEST     # see joint_twists: MXU bf16 default
+    wF = jnp.einsum("cnb,cjb->njb", w, F, precision=hi)
+    wT = jnp.einsum("cnb,cjb->njb", w, Tau, precision=hi)
+    uF = jnp.einsum("cnb,cjb->njb", u, F, precision=hi)
     per = rm * (wT - uF) + (1.0 - rm) * wF                    # (n, J, B)
-    return jnp.einsum("njb,nj->nb", per, anc)
+    return jnp.einsum("njb,nj->nb", per, anc, precision=hi)
 
 
 def contact_terms(struct: Structure, model: Model, q, v):
