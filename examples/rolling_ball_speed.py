@@ -130,13 +130,17 @@ def main():
     # and report the median of the later ones.
     times = []
     for rep in range(4):
-        us_chunks = us_chunks + 1e-8
+        # random (not constant-offset) perturbation: constant offsets were
+        # observed NOT to bust the memoization
+        dus = 1e-4 * jax.random.normal(jax.random.PRNGKey(100 + rep),
+                                       us_chunks.shape)
+        us_chunks = us_chunks + dus
         if args.lanes and args.batch >= 1:
-            us_lane = us_lane + 1e-8
+            us_lane = us_lane + dus[..., None]
             run = lambda: lane_jit(model, lstate, us_lane)
         t0 = time.time()
         out = run()
-        jax.tree.map(lambda x: x.block_until_ready(), out)
+        jax.device_get(out[0].q)   # host fetch: the only reliable fence
         times.append(time.time() - t0)
     t1, t0 = float(np.median(times[1:])), 0.0
 
@@ -189,10 +193,11 @@ def main():
         print(f"BPTT compile+first: {time.time() - t0:.1f}s")
         gts = []
         for rep in range(3):   # distinct inputs + median (see note above)
-            us_g = us_g + 1e-8
+            us_g = us_g + 1e-4 * jax.random.normal(
+                jax.random.PRNGKey(200 + rep), us_g.shape)
             t0 = time.time()
             g = gfn(us_g)
-            g.block_until_ready()
+            jax.device_get(g)
             gts.append(time.time() - t0)
         dt = float(np.median(gts[1:]))
         gn = float(jnp.linalg.norm(g))
