@@ -39,9 +39,11 @@ def main():
                   logdir=args.logdir if args.train else None, seed=args.seed)
     if args.checkpoint:
         algo.load(args.checkpoint)
+    if args.resume:
+        algo.resume(args.resume)
     if args.train:
         cfgutil.dump_cfg(cfg, args.logdir)
-        sr = algo.train()
+        sr = algo.train(stop_update=args.stop_update)
         print_ok(f"final success rate: {sr:.3f}")
 
 

@@ -38,9 +38,11 @@ def main():
                seed=args.seed)
     if args.checkpoint:
         algo.load(args.checkpoint)
+    if args.resume:
+        algo.resume(args.resume)
     if args.train:
         cfgutil.dump_cfg(cfg, args.logdir)
-        algo.train()
+        algo.train(stop_update=args.stop_update)
     else:
         rewards = []
         for g in range(args.num_games):

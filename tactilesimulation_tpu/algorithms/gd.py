@@ -167,8 +167,12 @@ class GD:
             from jax.sharding import PartitionSpec as P
             try:
                 from jax import shard_map
+                _sm_kw = {"check_vma": False}
             except ImportError:
+                # the experimental module (older JAX) spells the kwarg
+                # check_rep, not check_vma
                 from jax.experimental.shard_map import shard_map
+                _sm_kw = {"check_rep": False}
 
             def update_spmd(params, opt_state, keys, obs_rms):
                 """Explicit-SPMD epoch update: each device rolls out its
@@ -200,7 +204,7 @@ class GD:
             self._update = jax.jit(shard_map(
                 update_spmd, mesh=self.mesh,
                 in_specs=(P(), P(), P("batch"), P()),
-                out_specs=P(), check_vma=False))
+                out_specs=P(), **_sm_kw))
         else:
             self._update = jax.jit(update)
         self._policy_factory = policy_apply_factory

@@ -101,9 +101,15 @@ class PPO:
         self.norm_reward = config.get("norm_reward", True)
         self.clip_obs = config.get("clip_obs", 10.0)
         self.clip_reward = config.get("clip_reward", 10.0)
+        # interval checkpointing (reference ppo.py:100,192-199 —
+        # save_interval default 50); here each interval ALSO writes a
+        # full-state checkpoint so a crashed run resumes exactly (§5.4)
+        self.save_interval = cfg.get("general", {}).get(
+            "save_interval", config.get("save_interval", 50))
 
         self.num_updates = self.num_env_steps // (
             self.num_steps * self.num_processes)
+        self._resume_blob = None
 
         actor_cls = network.get("actor", "DiagGaussianActor")
         critic_cls = network.get("critic", "MLPCritic")
@@ -287,24 +293,47 @@ class PPO:
         self._update = jax.jit(update_iteration, donate_argnums=(0, 1, 2))
 
     # ------------------------------------------------------------------
-    def train(self):
+    def train(self, stop_update: Optional[int] = None):
+        """Run updates [resumed-update, num_updates); ``stop_update``
+        truncates early (checkpoint/resume tests simulate a crash with it).
+        A full-state checkpoint is written every ``save_interval`` updates
+        AND when the loop exits, so a TPU worker crash loses at most one
+        interval (reference saves models only, ppo.py:192-199)."""
+        end_update = (self.num_updates if stop_update is None
+                      else min(stop_update, self.num_updates))
         writer = log.SummaryWriter(os.path.join(self.logdir, "log")) \
             if self.logdir else None
         textlog = log.TextLog(os.path.join(self.logdir, "logs.txt")) \
             if self.logdir else None
-        key = jax.random.PRNGKey(self.seed)
-        key, kr = jax.random.split(key)
-        states, obs = self._vec_reset(kr)
-        dt = obs.dtype if hasattr(obs, "dtype") else jnp.float32
-        vec = VecEnvState(env_states=states, obs=obs,
-                          t=jnp.zeros(self.num_processes, jnp.int32), key=key)
-        norm = self.norm
+        if self._resume_blob is not None:
+            blob = self._resume_blob
+            self._resume_blob = None
+            key = jnp.asarray(blob["key"], jnp.uint32)
+            vec, norm = blob["vec"], blob["norm"]
+            update0 = int(blob["update"])
+            episode_rewards = deque(
+                [float(x) for x in np.atleast_1d(blob["episode_rewards"])],
+                maxlen=100)
+            ep_acc = np.asarray(blob["ep_acc"], np.float64).copy()
+            best = float(blob["best"])
+            elapsed0 = float(blob["elapsed"])
+        else:
+            key = jax.random.PRNGKey(self.seed)
+            key, kr = jax.random.split(key)
+            states, obs = self._vec_reset(kr)
+            vec = VecEnvState(env_states=states, obs=obs,
+                              t=jnp.zeros(self.num_processes, jnp.int32),
+                              key=key)
+            norm = self.norm
+            update0 = 0
+            episode_rewards = deque(maxlen=100)
+            ep_acc = np.zeros(self.num_processes)
+            best = -np.inf
+            elapsed0 = 0.0
 
-        episode_rewards = deque(maxlen=100)
-        ep_acc = np.zeros(self.num_processes)
-        best = -np.inf
         t_start = time.time()
-        for update in range(self.num_updates):
+        mean_r = -np.inf
+        for update in range(update0, end_update):
             key, ku = jax.random.split(key)
             (self.params, self.opt_state, vec, norm, metrics, raw_r,
              dones) = self._update(self.params, self.opt_state, vec, norm, ku)
@@ -318,7 +347,9 @@ class PPO:
             total_steps = (update + 1) * self.num_steps * self.num_processes
             if len(episode_rewards) > 0:
                 mean_r = float(np.mean(episode_rewards))
-                fps = int(total_steps / (time.time() - t_start))
+                fps = int((total_steps
+                           - update0 * self.num_steps * self.num_processes)
+                          / (time.time() - t_start))
                 loss, aloss, vloss, ent = (float(np.asarray(m))
                                            for m in metrics)
                 msg = (f"Updates {update}, num timesteps {total_steps}, "
@@ -339,12 +370,76 @@ class PPO:
                     best = mean_r
                     self.norm = norm
                     self.save()
+            hit_interval = (update % self.save_interval == 0
+                            or update == end_update - 1)
+            if self.logdir and hit_interval:
+                if len(episode_rewards) > 0:
+                    self.norm = norm
+                    self.save(f"model_iter{update}_reward{mean_r:.1f}")
+                self._stash(vec, norm, key, update + 1, episode_rewards,
+                            ep_acc, best, elapsed0 + time.time() - t_start)
+                self.save_checkpoint()
         self.norm = norm
+        self._stash(vec, norm, key, end_update, episode_rewards, ep_acc,
+                    best, elapsed0 + time.time() - t_start)
         if self.logdir:
-            self.save("final_policy")
+            self.save_checkpoint()
+            if end_update >= self.num_updates:
+                self.save("final_policy")
         if writer:
             writer.close()
         return float(np.mean(episode_rewards)) if episode_rewards else 0.0
+
+    # -- full-state checkpoint / resume (upgrade over the reference, which
+    # loses optimizer + vec-env + normalizer state on restart — §5.4) -------
+    def _stash(self, vec, norm, key, update, episode_rewards, ep_acc, best,
+               elapsed):
+        # fixed-size NaN-padded reward window so the checkpoint treedef /
+        # leaf shapes are update-independent (orbax item-restore needs that)
+        window = np.full(100, np.nan)
+        vals = list(episode_rewards)
+        if vals:
+            window[:len(vals)] = vals
+        self._train_state = {
+            "vec": vec, "norm": norm, "key": key, "update": update,
+            "episode_rewards": window,
+            "ep_acc": np.asarray(ep_acc, np.float64),
+            "best": float(best), "elapsed": float(elapsed)}
+
+    def save_checkpoint(self, name: str = "checkpoint"):
+        from ..utils import checkpoint
+        checkpoint.save_state(
+            os.path.join(self.logdir, name),
+            {"params": self.params, "opt_state": self.opt_state,
+             **self._train_state})
+
+    def _resume_target(self):
+        key = jax.random.PRNGKey(0)
+        states, obs = self._vec_reset(key)
+        vec_t = VecEnvState(env_states=states, obs=obs,
+                            t=jnp.zeros(self.num_processes, jnp.int32),
+                            key=key)
+        return {"params": self.params,
+                "opt_state": self.optimizer.init(self.params),
+                "vec": vec_t, "norm": self.norm, "key": key, "update": 0,
+                "episode_rewards": np.full(100, np.nan),
+                "ep_acc": np.zeros(self.num_processes), "best": 0.0,
+                "elapsed": 0.0}
+
+    def resume(self, path):
+        """Restore params/opt_state/vec-env/normalizer/update counter/PRNG
+        key; a subsequent train() continues exactly where the checkpointed
+        run stopped (mid-episode env states included)."""
+        from ..utils import checkpoint
+        blob = checkpoint.restore_state(path, self._resume_target())
+        as_jnp = lambda t: jax.tree.map(jnp.asarray, t)
+        self.params = as_jnp(blob["params"])
+        self.opt_state = as_jnp(blob["opt_state"])
+        self.norm = blob["norm"] = as_jnp(blob["norm"])
+        blob["vec"] = as_jnp(blob["vec"])
+        window = np.asarray(blob["episode_rewards"], np.float64)
+        blob["episode_rewards"] = window[~np.isnan(window)]
+        self._resume_blob = blob
 
     # ------------------------------------------------------------------
     def save(self, filename=None):

@@ -56,6 +56,12 @@ class PPORNN:
         self.clip_reward = config.get("clip_reward", 10.0)
         self.num_updates = self.num_env_steps // (
             self.num_steps * self.num_processes)
+        # interval + full-state checkpointing (reference ppo_rnn.py:95,
+        # 188-195 saves models every save_interval; the full-state
+        # checkpoint is the §5.4 upgrade that makes crashes resumable)
+        self.save_interval = cfg.get("general", {}).get(
+            "save_interval", config.get("save_interval", 50))
+        self._resume_blob = None
 
         self.ac = nets.ActorCriticRNN(env.ndof_u, network)
         obs_shape = env.obs_size()
@@ -244,25 +250,55 @@ class PPORNN:
         self._update = jax.jit(update_iteration, donate_argnums=(0, 1, 2))
 
     # ------------------------------------------------------------------
-    def train(self):
+    def train(self, stop_update: Optional[int] = None):
+        """Run updates [resumed-update, num_updates); ``stop_update``
+        truncates early (crash-sim tests). A full-state checkpoint (params,
+        optimizer, vec-env states, GRU hidden states, normalizer, counters)
+        is written every ``save_interval`` updates AND on loop exit, so a
+        TPU worker crash loses at most one interval."""
+        end_update = (self.num_updates if stop_update is None
+                      else min(stop_update, self.num_updates))
         writer = log.SummaryWriter(os.path.join(self.logdir, "log")) \
             if self.logdir else None
-        key = jax.random.PRNGKey(self.seed)
-        key, kr = jax.random.split(key)
-        states, obs = self._vec_reset(kr)
-        dt = obs.dtype
-        vec = VecEnvState(env_states=states, obs=obs,
-                          t=jnp.zeros(self.num_processes, jnp.int32), key=key)
-        hxs = jnp.zeros((self.num_processes, self.hidden_size), dt)
-        masks = jnp.zeros(self.num_processes, dt)
-        norm = self.norm
+        textlog = log.TextLog(os.path.join(self.logdir, "logs.txt")) \
+            if self.logdir else None
+        if self._resume_blob is not None:
+            blob = self._resume_blob
+            self._resume_blob = None
+            key = jnp.asarray(blob["key"], jnp.uint32)
+            vec, norm = blob["vec"], blob["norm"]
+            hxs, masks = blob["hxs"], blob["masks"]
+            update0 = int(blob["update"])
+            episode_rewards = deque(
+                [float(x) for x in np.atleast_1d(blob["episode_rewards"])],
+                maxlen=100)
+            successes = deque(
+                [float(x) for x in np.atleast_1d(blob["successes"])],
+                maxlen=100)
+            ep_acc = np.asarray(blob["ep_acc"], np.float64).copy()
+            best_sr = float(blob["best"])
+            elapsed0 = float(blob["elapsed"])
+        else:
+            key = jax.random.PRNGKey(self.seed)
+            key, kr = jax.random.split(key)
+            states, obs = self._vec_reset(kr)
+            dt = obs.dtype
+            vec = VecEnvState(env_states=states, obs=obs,
+                              t=jnp.zeros(self.num_processes, jnp.int32),
+                              key=key)
+            hxs = jnp.zeros((self.num_processes, self.hidden_size), dt)
+            masks = jnp.zeros(self.num_processes, dt)
+            norm = self.norm
+            update0 = 0
+            episode_rewards = deque(maxlen=100)
+            successes = deque(maxlen=100)
+            ep_acc = np.zeros(self.num_processes)
+            best_sr = -1.0
+            elapsed0 = 0.0
 
-        episode_rewards = deque(maxlen=100)
-        successes = deque(maxlen=100)
-        ep_acc = np.zeros(self.num_processes)
-        best_sr = -1.0
         t_start = time.time()
-        for update in range(self.num_updates):
+        mean_r, sr = -np.inf, 0.0
+        for update in range(update0, end_update):
             key, ku = jax.random.split(key)
             (self.params, self.opt_state, vec, hxs, masks, norm, metrics,
              raw_r, dones, succ) = self._update(
@@ -279,10 +315,14 @@ class PPORNN:
                 total = (update + 1) * self.num_steps * self.num_processes
                 sr = float(np.mean(successes)) if successes else 0.0
                 mean_r = float(np.mean(episode_rewards))
-                fps = int(total / (time.time() - t_start))
+                fps = int((total
+                           - update0 * self.num_steps * self.num_processes)
+                          / (time.time() - t_start))
                 msg = (f"Updates {update}, steps {total}, FPS {fps} | "
                        f"reward {mean_r:.1f} | success {sr:.3f}")
                 print(msg)
+                if textlog:
+                    textlog.append(msg)
                 if writer:
                     writer.add_scalar("rewards/step", mean_r, total)
                     writer.add_scalar("success_rate/step", sr, total)
@@ -292,12 +332,85 @@ class PPORNN:
                     best_sr = sr
                     self.norm = norm
                     self.save()
+            hit_interval = (update % self.save_interval == 0
+                            or update == end_update - 1)
+            if self.logdir and hit_interval:
+                if len(episode_rewards) > 0:
+                    self.norm = norm
+                    self.save(f"model_iter{update}_sr{sr:.2f}")
+                self._stash(vec, hxs, masks, norm, key, update + 1,
+                            episode_rewards, successes, ep_acc, best_sr,
+                            elapsed0 + time.time() - t_start)
+                self.save_checkpoint()
         self.norm = norm
+        self._stash(vec, hxs, masks, norm, key, end_update, episode_rewards,
+                    successes, ep_acc, best_sr,
+                    elapsed0 + time.time() - t_start)
         if self.logdir:
-            self.save("final_policy")
+            self.save_checkpoint()
+            if end_update >= self.num_updates:
+                self.save("final_policy")
         if writer:
             writer.close()
         return float(np.mean(successes)) if successes else 0.0
+
+    # -- full-state checkpoint / resume (§5.4; cf. PPO.save_checkpoint) ----
+    def _stash(self, vec, hxs, masks, norm, key, update, episode_rewards,
+               successes, ep_acc, best_sr, elapsed):
+        def window(vals):
+            w = np.full(100, np.nan)
+            vals = list(vals)
+            if vals:
+                w[:len(vals)] = vals
+            return w
+        self._train_state = {
+            "vec": vec, "hxs": hxs, "masks": masks, "norm": norm, "key": key,
+            "update": update, "episode_rewards": window(episode_rewards),
+            "successes": window(successes),
+            "ep_acc": np.asarray(ep_acc, np.float64),
+            "best": float(best_sr), "elapsed": float(elapsed)}
+
+    def save_checkpoint(self, name: str = "checkpoint"):
+        from ..utils import checkpoint
+        checkpoint.save_state(
+            os.path.join(self.logdir, name),
+            {"params": self.params, "opt_state": self.opt_state,
+             **self._train_state})
+
+    def _resume_target(self):
+        key = jax.random.PRNGKey(0)
+        states, obs = self._vec_reset(key)
+        dt = obs.dtype
+        vec_t = VecEnvState(env_states=states, obs=obs,
+                            t=jnp.zeros(self.num_processes, jnp.int32),
+                            key=key)
+        return {"params": self.params,
+                "opt_state": self.optimizer.init(self.params),
+                "vec": vec_t,
+                "hxs": jnp.zeros((self.num_processes, self.hidden_size), dt),
+                "masks": jnp.zeros(self.num_processes, dt),
+                "norm": self.norm, "key": key, "update": 0,
+                "episode_rewards": np.full(100, np.nan),
+                "successes": np.full(100, np.nan),
+                "ep_acc": np.zeros(self.num_processes), "best": 0.0,
+                "elapsed": 0.0}
+
+    def resume(self, path):
+        """Restore the full training state; a subsequent train() continues
+        exactly where the checkpointed run stopped."""
+        from ..utils import checkpoint
+        blob = checkpoint.restore_state(path, self._resume_target())
+        as_jnp = lambda t: jax.tree.map(jnp.asarray, t)
+        self.params = as_jnp(blob["params"])
+        self.opt_state = as_jnp(blob["opt_state"])
+        self.norm = blob["norm"] = as_jnp(blob["norm"])
+        blob["vec"] = as_jnp(blob["vec"])
+        blob["hxs"] = jnp.asarray(blob["hxs"])
+        blob["masks"] = jnp.asarray(blob["masks"])
+        for k in ("episode_rewards", "successes"):
+            w = np.asarray(blob[k], np.float64)
+            blob[k] = w[~np.isnan(w)]
+        self._resume_blob = blob
 
     # ------------------------------------------------------------------
     # Evaluation harness: per-misalignment-class success/improve matrices

@@ -7,9 +7,13 @@ see envs/tactile_push.py for the per-line parity notes) with the batch in the
 last axis via ``sim.lanes``: q is (n, B), points are (3, N, B), and every
 elementwise op runs at full lane utilization.
 
-Used by ``bench.py`` and the GD trainer's batched BPTT rollouts; parity with
-``vmap(TactilePushEnv.step)`` is pinned to float64 round-off in
-tests/test_lanes.py.
+Used by ``bench.py`` and the GD trainer's batched BPTT rollouts. The DEFAULT
+solver is the amortized chord (refresh=0: one Jacobian factor per env step,
+budget +2, exact at-solution IFT adjoint — study-backed in
+artifacts/SOLVER_ACCURACY_r04.jsonl); constructing with
+``solver_refresh=1, solver_bwd='exact'`` reproduces
+``vmap(TactilePushEnv.step)`` to float32 round-off, pinned by
+tests/test_lanes.py::test_lane_env_parity_refresh1.
 """
 
 from __future__ import annotations

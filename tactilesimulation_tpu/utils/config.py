@@ -57,6 +57,13 @@ def get_base_parser(desc=""):
     parser.add_argument("--render-interval", type=int, default=0)
     parser.add_argument("--device", type=str, default=None,
                         help="jax platform override (cpu/tpu)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="full-state checkpoint to resume training from "
+                             "(continues exactly: optimizer + vec-env + "
+                             "normalizer + counters + PRNG)")
+    parser.add_argument("--stop-update", type=int, default=None,
+                        help="stop after this many PPO updates / GD epochs "
+                             "(chunked crash-resilient training)")
     return parser
 
 

@@ -218,3 +218,30 @@ def test_tactile_field_parity():
     np.testing.assert_allclose(np.asarray(out[..., 0]), np.asarray(ref),
                                rtol=1e-8, atol=1e-12)
     assert float(jnp.sum(jnp.abs(ref))) > 0
+
+
+def test_lane_env_parity_refresh1():
+    """TactilePushLanes(solver_refresh=1, solver_bwd='exact') reproduces
+    vmap(TactilePushEnv.step) to f32 round-off — the equivalence the module
+    docstring documents (the DEFAULT amortized refresh=0 config trades this
+    exact parity for speed; artifacts/SOLVER_ACCURACY_r04.jsonl)."""
+    from tactilesimulation_tpu.envs import tactile_push, tactile_push_lanes
+    env = tactile_push.make("no_tactile")
+    lenv = tactile_push_lanes.TactilePushLanes(env, solver_refresh=1,
+                                               solver_bwd="exact")
+    keys = jax.random.split(jax.random.PRNGKey(3), B)
+    states, obs_ref = jax.vmap(env.reset)(keys)
+    lstate, obs = lenv.reset(keys)
+    np.testing.assert_allclose(np.asarray(obs), np.asarray(obs_ref),
+                               rtol=1e-6, atol=1e-7)
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        u = jnp.asarray(rng.normal(scale=0.3, size=(B, env.ndof_u)),
+                        jnp.float32)
+        states, obs_ref, r_ref, _, _ = jax.vmap(env.step)(states, u)
+        lstate, obs, r, _, _ = lenv.step(lstate, u)
+        np.testing.assert_allclose(np.asarray(lstate.sim.q.T),
+                                   np.asarray(states.sim.q),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(r_ref),
+                                   rtol=1e-4, atol=1e-5)
