@@ -29,10 +29,23 @@ def main():
     ap.add_argument("--configs", nargs="+", default=[
         "1:exact:6:0", "5:exact:6:0", "5:stale:6:0", "5:stale:6:1",
         "5:stale:8:0", "5:exact:6:1", "1:exact:6:1",
-    ], help="refresh:bwd:max_iter:fused")
+    ], help="refresh:bwd:max_iter:fused (refresh=0 = amortized per-env-step)")
+    ap.add_argument("--x64", action="store_true",
+                    help="run on CPU in float64 — the chaos-free closure "
+                         "regime (VERDICT r4 ask #4: validate the SHIPPED "
+                         "amortized config where stick-slip noise cannot "
+                         "mask adjoint error)")
+    ap.add_argument("--fd", type=int, default=0,
+                    help="ALSO finite-difference-check each config's own "
+                         "gradient along this many random control "
+                         "directions (central differences)")
+    ap.add_argument("--out", default="artifacts/SOLVER_ACCURACY_r04.jsonl")
     args = ap.parse_args()
 
     import jax
+    if args.x64:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    ".jax_cache"))
@@ -50,8 +63,11 @@ def main():
     us = 0.3 * jax.random.normal(jax.random.PRNGKey(7), (H, B, nu))
 
     def build(refresh, bwd, miter, fused):
+        # mega=False: this study measures the lanes stepper configs; the
+        # mega program is pinned to lanes refresh=0/exact separately by
+        # tests/test_megastep.py
         lenv.rebuild_solver(refresh=refresh, bwd_mode=bwd, max_iter=miter,
-                            fused=bool(fused))
+                            fused=bool(fused), mega=False)
 
         def run(us):
             state, obs = lenv.reset(keys)
@@ -75,7 +91,7 @@ def main():
     print(f"# reference built in {time.time() - t0:.0f}s", flush=True)
 
     os.makedirs("artifacts", exist_ok=True)
-    outpath = "artifacts/SOLVER_ACCURACY_r04.jsonl"
+    outpath = args.out
     out = []
     for cfg in args.configs:
         refresh, bwd, miter, fused = cfg.split(":")
@@ -94,6 +110,25 @@ def main():
             cos_seeds.append(float(
                 np.dot(gb, rb)
                 / (np.linalg.norm(gb) * np.linalg.norm(rb) + 1e-300)))
+        fd_rows = []
+        if args.fd:
+            # central-difference closure of THIS config's own gradient:
+            # AD(run_m) must match FD(run_m) regardless of solver staleness
+            # (the adjoint must be the true derivative of the computed map)
+            rng = np.random.RandomState(11)
+            eps = 1e-6 if args.x64 else 1e-3
+            loss_m = jax.jit(lambda uu: run_m(uu)[1])
+            for di in range(args.fd):
+                d = rng.randn(*us.shape)
+                d /= np.linalg.norm(d)
+                d_j = jnp.asarray(d, us.dtype)
+                fp_ = float(loss_m(us + eps * d_j))
+                fm_ = float(loss_m(us - eps * d_j))
+                fd_val = (fp_ - fm_) / (2 * eps)
+                ad_val = float(np.dot(g.ravel(), d.ravel()))
+                fd_rows.append({"fd": fd_val, "ad": ad_val,
+                                "rel_err": abs(fd_val - ad_val)
+                                / (abs(fd_val) + 1e-300)})
         rec = {
             "metric": f"lane_solver_refresh{refresh}_{bwd}_iter{miter}"
                       f"_fused{fused}",
@@ -105,6 +140,9 @@ def main():
             "grad_cos": cos,
             "grad_cos_min_seed": float(np.min(cos_seeds)),
         }
+        if fd_rows:
+            rec["fd_check"] = fd_rows
+            rec["fd_rel_err_max"] = max(r["rel_err"] for r in fd_rows)
         print(json.dumps(rec), flush=True)
         with open(outpath, "a") as fp:
             fp.write(json.dumps(rec) + "\n")

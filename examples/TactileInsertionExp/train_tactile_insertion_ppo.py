@@ -33,7 +33,15 @@ def main():
 
     env_params = dict(cfg["params"]["env"])
     name = env_params.pop("name")
+    # lane-major vec env: fused whole-batch step + auto-reset (the vmapped
+    # per-instance path measured 324 ms/vec-step at B=8 on TPU — infeasible
+    # for the 5e6-step protocol). Opt out with `lane_vec: false` in the cfg.
+    lane_vec = env_params.pop("lane_vec", True)
     env = envs.make(name, **env_params)
+    if lane_vec:
+        from tactilesimulation_tpu.envs.tactile_insertion_lanes import (
+            TactileInsertionLanes)
+        env = TactileInsertionLanes(env)
 
     algo = PPORNN(env, cfg["params"],
                   logdir=args.logdir if args.train else None, seed=args.seed)

@@ -95,8 +95,15 @@ class PPORNN:
                 return obs
             return jnp.clip(rms.normalize(obs), -self.clip_obs, self.clip_obs)
 
+        # a lane-major vec env (e.g. envs/tactile_insertion_lanes.py) fuses
+        # the whole-batch step + auto-reset into one call — the vmap fallback
+        # pays the per-env step AND reset branch every step
+        fused_vec = hasattr(env, "vec_step_autoreset")
+
         def vec_reset(key):
             keys = jax.random.split(key, N)
+            if fused_vec:
+                return env.vec_reset(keys)
             states, obs = jax.vmap(env.reset)(keys)
             return states, obs
 
@@ -125,9 +132,14 @@ class PPORNN:
                                                 method=ac.act),
                     in_axes=(0, 0, 0, None))(nobs, hxs, masks, k_act)
                 rkeys = jax.random.split(k_reset, N)
-                nstate, next_obs, t, reward, done, bad, success = jax.vmap(
-                    env_step_autoreset)(vec.env_states, vec.obs, vec.t,
-                                        action, rkeys)
+                if fused_vec:
+                    (nstate, next_obs, t, reward, done, bad,
+                     success) = env.vec_step_autoreset(
+                        vec.env_states, vec.obs, vec.t, action, rkeys)
+                else:
+                    nstate, next_obs, t, reward, done, bad, success = \
+                        jax.vmap(env_step_autoreset)(
+                            vec.env_states, vec.obs, vec.t, action, rkeys)
                 returns = norm.returns * self.gamma + reward
                 new_ret_rms = norm.ret_rms.update(returns)
                 r_train = (jnp.clip(reward / jnp.sqrt(new_ret_rms.var + 1e-8),
@@ -421,7 +433,9 @@ class PPORNN:
         success, improve_cnt, episode_len, extra_info) where extra_info
         carries the 3x3 class count/success/improve matrices and the
         per-step misalignment points/angles."""
-        env, ac = self.env, self.ac
+        # evaluation replays single episodes — use the per-instance env even
+        # when training ran on a lane-major vec env wrapper
+        env, ac = getattr(self.env, "env", self.env), self.ac
         if not hasattr(self, "_play_step"):
             def policy_step(params, norm, obs, hxs, k, det):
                 nobs = obs

@@ -108,6 +108,27 @@ class TactileInsertionEnv(FunctionalEnv):
 
     # -- initial pose (reference :126-170) ---------------------------------
     def _generate_initial_pose(self):
+        """Grasp + lift settle (1000 implicit substeps). The result is a
+        deterministic function of (struct, model), so it is disk-cached —
+        recomputing it costs minutes of XLA compile+run per process."""
+        import hashlib
+        model = self.model
+        leaves = jax.tree.leaves(model)
+        hsh = hashlib.sha256()
+        for leaf in leaves:
+            arr = np.asarray(leaf, np.float64)
+            hsh.update(arr.tobytes() + str(arr.shape).encode())
+        cache = os.path.join(os.path.expanduser("~"), ".cache",
+                             "tactilesimulation_tpu",
+                             f"insertion_qinit_{hsh.hexdigest()[:16]}.npy")
+        if os.path.exists(cache):
+            return jnp.asarray(np.load(cache), model.q_init.dtype)
+        q = self._generate_initial_pose_uncached()
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.save(cache, np.asarray(q))
+        return q
+
+    def _generate_initial_pose_uncached(self):
         model = self.model
         dtype = model.q_init.dtype
         q = np.asarray(model.q_init).copy()
@@ -192,6 +213,13 @@ class TactileInsertionEnv(FunctionalEnv):
 
         state, tacs = jax.lax.scan(body, state, us)
         captured = tacs[jnp.asarray(self.capture_frames)]  # (S+1, M, 3)
+        return state.q, self._obs_from_captured(captured, key)
+
+    def _obs_from_captured(self, captured, key):
+        """Captured tactile frames (S+1, M, 3) -> observation (relative
+        shear frames, noise, per-episode normalization; reference :361-377).
+        Shared with the lane-major vec env (vmapped per lane there)."""
+        dtype = captured.dtype
         rel = captured[1:] - captured[0:1]
         shear = rel.reshape(self.tactile_samples, 2, ROWS, COLS, 3)[..., 0:2]
         if self.observation_noise:
@@ -200,10 +228,8 @@ class TactileInsertionEnv(FunctionalEnv):
             max_len = jnp.max(jnp.linalg.norm(shear, axis=-1)) + 1e-5
             shear = shear / (max_len / 30.0)
         if self.observation_type == "tactile_flatten":
-            obs = shear.reshape(-1)
-        else:
-            obs = shear.transpose(0, 1, 4, 2, 3).reshape(-1, ROWS, COLS)
-        return state.q, obs
+            return shear.reshape(-1)
+        return shear.transpose(0, 1, 4, 2, 3).reshape(-1, ROWS, COLS)
 
     def obs_size(self):
         if self.observation_type == "tactile_flatten":
@@ -229,7 +255,11 @@ class TactileInsertionEnv(FunctionalEnv):
         return success, reward, pose, improve
 
     # -- api ---------------------------------------------------------------
-    def reset(self, key):
+    def _sample_reset(self, key):
+        """Per-episode reset sampling (pose noise + domain randomization,
+        reference :202-216, :238-281) WITHOUT the scripted execution — shared
+        by ``reset`` and the lane-major vec env
+        (envs/tactile_insertion_lanes.py)."""
         kp, kr, kh, kdr, kobs, knext = jax.random.split(key, 6)
         dtype = self.q_init_ref.dtype
         if self.allow_translation:
@@ -272,33 +302,43 @@ class TactileInsertionEnv(FunctionalEnv):
             grasp_force = jax.random.uniform(
                 ks[7], minval=self.grasp_force_range[0],
                 maxval=self.grasp_force_range[1], dtype=dtype)
+        return dict(q_cmd=q_cmd, pair_kn=pair_kn, pair_kt=pair_kt,
+                    pair_mu=pair_mu, pair_damping=pair_damping,
+                    tac_kn=tac[0], tac_kt=tac[1], tac_mu=tac[2],
+                    tac_damping=tac[3], grasp_force=grasp_force,
+                    kobs=kobs, knext=knext)
 
+    def reset(self, key):
+        s = self._sample_reset(key)
+        q_cmd, dtype = s["q_cmd"], self.q_init_ref.dtype
         ex = InsertionExtras(
             current_q_init=q_cmd, original_q_init=q_cmd,
             prev_object_pose=jnp.stack([q_cmd[0], q_cmd[1], q_cmd[3]]),
-            pair_kn=pair_kn, pair_kt=pair_kt, pair_mu=pair_mu,
-            pair_damping=pair_damping, tac_kn=tac[0], tac_kt=tac[1],
-            tac_mu=tac[2], tac_damping=tac[3], grasp_force=grasp_force,
+            pair_kn=s["pair_kn"], pair_kt=s["pair_kt"], pair_mu=s["pair_mu"],
+            pair_damping=s["pair_damping"], tac_kn=s["tac_kn"],
+            tac_kt=s["tac_kt"], tac_mu=s["tac_mu"],
+            tac_damping=s["tac_damping"], grasp_force=s["grasp_force"],
             obs=jnp.zeros(self.obs_size(), dtype),
             is_success=jnp.zeros((), bool))
         model = self._model_for(ex)
-        final_q, obs = self._execute(model, q_cmd, grasp_force, kobs)
+        final_q, obs = self._execute(model, q_cmd, s["grasp_force"],
+                                     s["kobs"])
         ex = ex.replace(obs=obs)
         return EnvState(sim=integrators.initial_state(self.struct, model),
-                        key=knext, t=jnp.zeros((), jnp.int32), extras=ex), obs
+                        key=s["knext"], t=jnp.zeros((), jnp.int32),
+                        extras=ex), obs
 
-    def step(self, state: EnvState, u):
-        ex = state.extras
-        dtype = ex.current_q_init.dtype
-        kobs, knext = jax.random.split(state.key)
+    def _apply_action(self, current_q_init, original_q_init, u):
+        """Action -> commanded start pose q_cmd (reference :294-328). Shared
+        with the lane-major vec env (vmapped per lane there)."""
+        dtype = current_q_init.dtype
         action = jnp.clip(u, -1.0, 1.0) * jnp.asarray(self.action_scale, dtype)
-
         if self.allow_translation:
             if self.action_type == "relative":
                 rel_xy = jnp.clip(
                     action[0:2],
-                    -self.working_space_boundary - ex.current_q_init[0:2],
-                    self.working_space_boundary - ex.current_q_init[0:2])
+                    -self.working_space_boundary - current_q_init[0:2],
+                    self.working_space_boundary - current_q_init[0:2])
             else:
                 rel_xy = action[0:2]
             base_idx = 2
@@ -310,14 +350,18 @@ class TactileInsertionEnv(FunctionalEnv):
             if self.action_type == "relative":
                 rel_rot = jnp.clip(
                     rel_rot,
-                    -self.working_rotation_boundary - ex.current_q_init[3],
+                    -self.working_rotation_boundary - current_q_init[3],
                     self.working_rotation_boundary)
         else:
             rel_rot = jnp.zeros((), dtype)
+        base_q = (current_q_init if self.action_type == "relative"
+                  else original_q_init)
+        return self._apply_relative_motion(base_q, rel_xy, rel_rot)
 
-        base_q = (ex.current_q_init if self.action_type == "relative"
-                  else ex.original_q_init)
-        q_cmd = self._apply_relative_motion(base_q, rel_xy, rel_rot)
+    def step(self, state: EnvState, u):
+        ex = state.extras
+        kobs, knext = jax.random.split(state.key)
+        q_cmd = self._apply_action(ex.current_q_init, ex.original_q_init, u)
 
         model = self._model_for(ex)
         final_q, obs = self._execute(model, q_cmd, ex.grasp_force, kobs)

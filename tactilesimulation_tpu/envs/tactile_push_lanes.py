@@ -63,7 +63,7 @@ class TactilePushLanes:
                             max_iter=max_iter)
 
     def rebuild_solver(self, *, refresh: int = 0, bwd_mode: str = "exact",
-                       max_iter: int = 0, fused="auto"):
+                       max_iter: int = 0, fused="auto", mega="auto"):
         """(Re)build the fused frame_skip sim step.
 
         Defaults from the round-4 accuracy study
@@ -99,9 +99,24 @@ class TactilePushLanes:
             pw, meta = lane_contact.make_pair_wrenches(self.struct)
             if pw is not None:
                 self._pw = (pw, meta)
-        self._multi_step = lanes.build_env_step(
-            self.struct, self.frame_skip, refresh=refresh, bwd_mode=bwd_mode,
-            max_iter=max_iter, fused_pw=self._pw)
+        # whole-env-step fused Pallas program (ops/megastep.py): same
+        # refresh=0/'exact' semantics with the full substep + adjoint chain
+        # VMEM-resident — the r05 headline path. Falls back to the lanes
+        # stepper for any other solver config.
+        from ..ops import megastep as _mega
+        self.solver_mega = False
+        if mega == "auto":
+            mega = (_jax.default_backend() == "tpu" and refresh == 0
+                    and bwd_mode == "exact"
+                    and _mega.supported(self.struct, self.model))
+        if mega:
+            self._multi_step = _mega.build_env_step_mega(
+                self.struct, self.model, self.frame_skip, max_iter=max_iter)
+            self.solver_mega = True
+        else:
+            self._multi_step = lanes.build_env_step(
+                self.struct, self.frame_skip, refresh=refresh,
+                bwd_mode=bwd_mode, max_iter=max_iter, fused_pw=self._pw)
 
     # -- reset: per-episode randomization is once-per-rollout, so vmap of the
     # single-instance reset is fine; convert to lane layout after.

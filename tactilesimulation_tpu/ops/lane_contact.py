@@ -141,6 +141,7 @@ def _wrenches_ref(segments, J, ntac, jp, jq, Om, be, bp, bquat, sizes,
     for s in segments:
         xi = xi_packed[s.row0:s.row0 + s.n].T[:, :, None]      # (3, n, 1)
         jqs = jq[:, s.joint][:, None]                          # (4, 1, B)
+        prm_sel = params[s.param_row].astype(dtype)            # (4,) | (4, B)
         x = jp[:, s.joint][:, None] + lanes.quat_rotate(jqs, xi)
         v_pt = lanes.cross(Om[:, s.joint][:, None], x) + be[:, s.joint][:, None]
         if s.gtype == GROUND:
@@ -168,9 +169,9 @@ def _wrenches_ref(segments, J, ntac, jp, jq, Om, be, bp, bquat, sizes,
             v_prim = (lanes.cross(Om[:, s.prim_joint][:, None], x)
                       + be[:, s.prim_joint][:, None])
             v_rel = v_pt - v_prim
-        prm = params[s.param_row].astype(dtype)
-        f = lanes._penalty_force(phi, nrm, v_rel,
-                                 prm[:, None, None])
+        prm = (prm_sel[:, None, None] if prm_sel.ndim == 1
+               else prm_sel[:, None, :])
+        f = lanes._penalty_force(phi, nrm, v_rel, prm)
         fs = jnp.sum(f, axis=1)
         ts = jnp.sum(lanes.cross(x, f), axis=1)
         F = F.at[:, s.joint].add(fs)
@@ -200,14 +201,19 @@ def _cross(a, b):
             a[0] * b[1] - a[1] * b[0]]
 
 
-def _kernel(segments, J, ntac_pad, jp_ref, jq_ref, om_ref, be_ref, bp_ref,
-            bq_ref, xix_ref, xiy_ref, xiz_ref, scal_ref,
-            F_ref, T_ref, tac_ref):
+def _kernel(segments, J, ntac_pad, batched_params, jp_ref, jq_ref, om_ref,
+            be_ref, bp_ref, bq_ref, xix_ref, xiy_ref, xiz_ref, *rest):
     """One lane block. Refs: jp/om/be (3, J, Bb); jq (4, J, Bb);
     bp (3, NB, Bb); bq (4, NB, Bb); xi* (Npad, 1); scal SMEM (S+1, 8) rows
     [kn, kt, mu, damping, size0, size1, size2, 0] per segment, last row
-    [gnx, gny, gnz, gn.gpos, 0...]; outputs F/T (3, J, Bb),
-    tac (3, ntac_pad, Bb)."""
+    [gnx, gny, gnz, gn.gpos, 0...]; with ``batched_params`` an extra VMEM
+    ref (4K, Bb) of per-lane [kn, kt, mu, damping] rows (contact-parameter
+    domain randomization) replaces the scal param entries; outputs
+    F/T (3, J, Bb), tac (3, ntac_pad, Bb)."""
+    if batched_params:
+        pp_ref, scal_ref, F_ref, T_ref, tac_ref = rest
+    else:
+        scal_ref, F_ref, T_ref, tac_ref = rest
     f32 = F_ref.dtype
     Bb = F_ref.shape[-1]
     F_ref[:, :, :] = jnp.zeros((3, J, Bb), f32)
@@ -235,8 +241,13 @@ def _kernel(segments, J, ntac_pad, jp_ref, jq_ref, om_ref, be_ref, bp_ref,
         oxx = _cross(om_j, x)
         v_pt = [oxx[i] + be_j[i] for i in range(3)]
 
-        kn, kt, mu, damping = (scal_ref[si, 0], scal_ref[si, 1],
-                               scal_ref[si, 2], scal_ref[si, 3])
+        if batched_params:
+            pr = 4 * s.param_row
+            kn, kt, mu, damping = (pp_ref[pr + k:pr + k + 1, :]
+                                   for k in range(4))
+        else:
+            kn, kt, mu, damping = (scal_ref[si, 0], scal_ref[si, 1],
+                                   scal_ref[si, 2], scal_ref[si, 3])
         if s.gtype == GROUND:
             phi = x[0] * gn[0] + x[1] * gn[1] + x[2] * gn[2] - gdot
             nrm = [jnp.broadcast_to(gn[i], shape) for i in range(3)]
@@ -306,7 +317,17 @@ def _kernel(segments, J, ntac_pad, jp_ref, jq_ref, om_ref, be_ref, bp_ref,
         vt_norm = jnp.sqrt(vt[0] ** 2 + vt[1] ** 2 + vt[2] ** 2 + _EPS ** 2)
         cap = mu * fn_mag
         scale = cap / jnp.maximum(cap, kt * vt_norm + _EPS)
-        f = [fn_mag * nrm[i] - (kt * scale) * vt[i] for i in range(3)]
+        # explicit pad-row mask: padded rows hold a 1e6 local-coordinate
+        # sentinel which is force-free for primitive SDFs but NOT guaranteed
+        # for the infinite GROUND plane under a non-yaw owner orientation
+        # (advisor r04) — zero them unconditionally instead
+        if s.n < npd:
+            valid = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                     < s.n).astype(f32)
+        else:
+            valid = 1.0
+        f = [(fn_mag * nrm[i] - (kt * scale) * vt[i]) * valid
+             for i in range(3)]
         xf = _cross(x, f)
         for i in range(3):
             fs = jnp.sum(f[i], axis=0, keepdims=True)
@@ -339,14 +360,15 @@ def make_pair_wrenches(struct, interpret=None):
     if not segments:
         return None, (segments, n_rows, src_idx, packed_rows)
 
-    kernel = functools.partial(_kernel, segments, J, ntac_pad)
-
     def run_kernel(jp, jq, Om, be, bp, bquat, sizes, params, gpos, gn,
                    xi_packed):
         dtype = jnp.float32
         B = jp.shape[-1]
         Bb = _LANE_BLOCK
         Bpad = ((B + Bb - 1) // Bb) * Bb
+        batched_params = params.ndim == 3          # (K, 4, B) per-lane DR
+        kernel = functools.partial(_kernel, segments, J, ntac_pad,
+                                   batched_params)
         def padB(a):
             a = a.astype(dtype)
             if a.shape[-1] != Bpad:
@@ -360,7 +382,8 @@ def make_pair_wrenches(struct, interpret=None):
         # per-segment scalar rows + ground row
         rows = []
         for s in segments:
-            prm = params[s.param_row].astype(dtype)
+            prm = (jnp.zeros(4, dtype) if batched_params
+                   else params[s.param_row].astype(dtype))
             size = (sizes[s.prim_body].astype(dtype) if s.prim_body >= 0
                     else jnp.zeros(3, dtype))
             rows.append(jnp.concatenate([prm, size, jnp.zeros(1, dtype)]))
@@ -373,6 +396,20 @@ def make_pair_wrenches(struct, interpret=None):
         vspec = lambda d0, d1: pl.BlockSpec((d0, d1, Bb),
                                             lambda b: (0, 0, b),
                                             memory_space=pltpu.VMEM)
+        xspec = pl.BlockSpec((n_rows, 1), lambda b: (0, 0),
+                             memory_space=pltpu.VMEM)
+        in_specs = [vspec(3, J), vspec(4, J), vspec(3, J), vspec(3, J),
+                    vspec(3, NB), vspec(4, NB), xspec, xspec, xspec]
+        inputs = [jp_, jq_, om_, be_, bp_, bq_,
+                  xi[:, 0:1], xi[:, 1:2], xi[:, 2:3]]
+        if batched_params:
+            K = params.shape[0]
+            pp = padB(params).reshape(4 * K, Bpad)      # row 4k+j
+            in_specs.append(pl.BlockSpec((4 * K, Bb), lambda b: (0, b),
+                                         memory_space=pltpu.VMEM))
+            inputs.append(pp)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(scal)
         F, T, tac = pl.pallas_call(
             kernel,
             grid=grid,
@@ -381,17 +418,7 @@ def make_pair_wrenches(struct, interpret=None):
                 jax.ShapeDtypeStruct((3, J, Bpad), dtype),
                 jax.ShapeDtypeStruct((3, ntac_pad, Bpad), dtype),
             ),
-            in_specs=[
-                vspec(3, J), vspec(4, J), vspec(3, J), vspec(3, J),
-                vspec(3, NB), vspec(4, NB),
-                pl.BlockSpec((n_rows, 1), lambda b: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_rows, 1), lambda b: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_rows, 1), lambda b: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.SMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(
                 pl.BlockSpec((3, J, Bb), lambda b: (0, 0, b),
                              memory_space=pltpu.VMEM),
@@ -401,8 +428,7 @@ def make_pair_wrenches(struct, interpret=None):
                              memory_space=pltpu.VMEM),
             ),
             interpret=interpret,
-        )(jp_, jq_, om_, be_, bp_, bq_,
-          xi[:, 0:1], xi[:, 1:2], xi[:, 2:3], scal)
+        )(*inputs)
         out_dtype = jp.dtype
         return (F[:, :, :B].astype(out_dtype), T[:, :, :B].astype(out_dtype),
                 tac[:, :ntac, :B].astype(out_dtype))

@@ -134,11 +134,17 @@ def penalty_force(phi, n, v_rel, kn, kt, mu, damping):
 
 
 def combined_params(model):
-    """(K+S, 4) rows of [kn, kt, mu, damping]: declared pairs then sensors."""
+    """(K+S, 4) rows of [kn, kt, mu, damping]: declared pairs then sensors.
+
+    Leaves may carry a trailing per-lane batch axis ((K, B) / (S, B) —
+    per-episode contact-parameter domain randomization, e.g. TactileInsertion
+    reference :238-281); the result is then (K+S, 4, B)."""
+    ax = 1 if model.pair_kn.ndim == 2 else -1
     pair = jnp.stack(
-        [model.pair_kn, model.pair_kt, model.pair_mu, model.pair_damping], axis=-1)
+        [model.pair_kn, model.pair_kt, model.pair_mu, model.pair_damping],
+        axis=ax)
     tac = jnp.stack(
-        [model.tac_kn, model.tac_kt, model.tac_mu, model.tac_damping], axis=-1)
+        [model.tac_kn, model.tac_kt, model.tac_mu, model.tac_damping], axis=ax)
     return jnp.concatenate([pair, tac], axis=0)
 
 

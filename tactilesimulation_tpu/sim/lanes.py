@@ -358,6 +358,15 @@ def _group_sdf(group, struct, model, x, body_p, body_R):
     return phi, n
 
 
+def _select_params(params, param_idx):
+    """Rows of the combined contact-param table for one group:
+    (K, 4) -> (4, N, 1); per-lane batched (K, 4, B) -> (4, N, B)."""
+    sel = params[np.asarray(param_idx)]
+    if sel.ndim == 2:
+        return sel.T[:, :, None]
+    return jnp.swapaxes(sel, 0, 1)
+
+
 def _penalty_force(phi, n, v_rel, prm):
     """phi (N, B), n/v_rel (3, N, B), prm (4, N, 1)."""
     kn, kt, mu, damping = prm[0], prm[1], prm[2], prm[3]
@@ -598,7 +607,7 @@ def contact_terms(struct: Structure, model: Model, q, v):
             pj = bj[np.asarray(g.prim_body)]
             v_prim = cross(Omega[:, pj], x_eff) + beta[:, pj]
             v_rel = v_pt - v_prim
-        prm = params[np.asarray(g.param_idx)].T[:, :, None]   # (4, N, 1)
+        prm = _select_params(params, g.param_idx)             # (4, N, 1|B)
         f = _penalty_force(phi, nrm, v_rel, prm)
 
         # tactile rows (world marker forces for the sensor query)
@@ -676,7 +685,7 @@ def contact_terms_ad(struct: Structure, model: Model, q, v):
             R_b = bR[:, :, pidx]
             v_prim = bv[:, pidx] + cross(bw[:, pidx], x_eff - p_b)
             xi_p = mat_tvec(R_b, x_eff - p_b)
-        prm = params[np.asarray(g.param_idx)].T[:, :, None]        # (4, N, 1)
+        prm = _select_params(params, g.param_idx)                  # (4, N, .)
         f = _penalty_force(phi, n, v_pt - v_prim, prm)
         per_group.append((g, f, x, x_eff, xi_p))
 
@@ -734,7 +743,7 @@ def _sphere_group_wrenches(struct, model, g, bp, bquat, bR, Omega, beta,
         pj = bj[np.asarray(g.prim_body)]
         v_prim = cross(Omega[:, pj], x_eff) + beta[:, pj]
         v_rel = v_pt - v_prim
-    prm = params[np.asarray(g.param_idx)].T[:, :, None]
+    prm = _select_params(params, g.param_idx)
     f = _penalty_force(phi, nrm, v_rel, prm)
     qg = bquat[:, gbody]
     xi_g = jax.lax.stop_gradient(quat_rotate(quat_conj(qg), x_eff - x))
