@@ -203,11 +203,18 @@ class _SceneConst:
 
     # -- kinematics (value-level; q is (n, Bb)) ---------------------------
     def fk_joints(self, q):
-        dtype = q.dtype
-        z = jnp.zeros_like(q[0:1])
+        return self.fk_joints_rows(tuple(q[i:i + 1] for i in range(self.n)))
+
+    def fk_joints_rows(self, qrows):
+        """fk on a TUPLE of (1, Bb) rows. The row split happens OUTSIDE any
+        grad/vjp closure: reverse-mode through this function is slice-free,
+        so a second transpose (vjp of a kernel-internal grad) never produces
+        the negative-config lax.pad Mosaic cannot lower."""
+        dtype = qrows[0].dtype
+        z = jnp.zeros_like(qrows[0])
 
         def qrow(i):
-            return q[int(i):int(i) + 1] if int(i) < self.n else z
+            return qrows[int(i)] if int(i) < self.n else z
 
         jp = [None] * self.J
         jq = [None] * self.J
@@ -262,14 +269,20 @@ class _SceneConst:
     # -- Lagrangian / momentum -------------------------------------------
     def lagrangian(self, q, v):
         """(1, Bb) Lagrangian per lane (mirrors lanes.lagrangian)."""
+        return self.lagrangian_rows(
+            tuple(q[i:i + 1] for i in range(self.n)),
+            tuple(v[i:i + 1] for i in range(self.n)))
+
+    def lagrangian_rows(self, qrows, vrows):
+        """Lagrangian on row tuples — slice-free under AD (see
+        fk_joints_rows)."""
         def fkb(qq):
-            jp, jq = self.fk_joints(qq)
+            jp, jq = self.fk_joints_rows(qq)
             return self.fk_bodies(jp, jq)
 
-        (bp, bq), (bpd, bqd) = jax.jvp(fkb, (q,), (v,))
-        dtype = q.dtype
-        T = jnp.zeros_like(q[0:1])
-        V = jnp.zeros_like(q[0:1])
+        (bp, bq), (bpd, bqd) = jax.jvp(fkb, (qrows,), (vrows,))
+        T = jnp.zeros_like(qrows[0])
+        V = jnp.zeros_like(qrows[0])
         g = self.gravity
         for b in range(self.NB):
             w4 = _qmul(bqd[b], _qconj(bq[b]))
@@ -287,12 +300,22 @@ class _SceneConst:
         return T - V
 
     def el_pair(self, q, v):
-        """(dL/dq, dL/dv == momentum) as (n, Bb)."""
-        return jax.grad(lambda qq, vv: jnp.sum(self.lagrangian(qq, vv)),
-                        argnums=(0, 1))(q, v)
+        """(dL/dq, dL/dv == momentum) as (n, Bb). Row split OUTSIDE the grad
+        closure so the reverse-mode graph is slice-free (Mosaic-transposable
+        under an outer vjp)."""
+        qr = tuple(q[i:i + 1] for i in range(self.n))
+        vr = tuple(v[i:i + 1] for i in range(self.n))
+        gq, gv = jax.grad(
+            lambda qq, vv: jnp.sum(self.lagrangian_rows(qq, vv)),
+            argnums=(0, 1))(qr, vr)
+        return jnp.concatenate(gq, axis=0), jnp.concatenate(gv, axis=0)
 
     def momentum(self, q, v):
-        return jax.grad(lambda vv: jnp.sum(self.lagrangian(q, vv)))(v)
+        qr = tuple(q[i:i + 1] for i in range(self.n))
+        vr = tuple(v[i:i + 1] for i in range(self.n))
+        gv = jax.grad(
+            lambda vv: jnp.sum(self.lagrangian_rows(qr, vv)))(vr)
+        return jnp.concatenate(gv, axis=0)
 
     # -- dof frames / twists ---------------------------------------------
     def dof_frames(self, q, jp, jq):
@@ -605,7 +628,10 @@ def _build_J_rows(sc, v_star, u, q_base, p_base, xi3):
                     v_star)
     Jrows = []
     for i in range(n):
-        cot = jnp.zeros_like(v_star).at[i].set(1.0)
+        # one-hot row cotangent without scatter: .at[i].set lowers to a
+        # scatter primitive Pallas-TPU can't compile (even for static i)
+        cot = (jax.lax.broadcasted_iota(jnp.int32, v_star.shape, 0)
+               == i).astype(v_star.dtype)
         (row,) = pb(cot)                        # dr_i/dv (n, Bb)
         Jrows.append(_rows(row))
     return Jrows
